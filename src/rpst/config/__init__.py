@@ -1,0 +1,3 @@
+from .schema import Config, load_config, DEFAULTS
+
+__all__ = ["Config", "load_config", "DEFAULTS"]
