@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark: 512px stylized images/sec on one chip for the flagship model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+
+Baseline: the reference publishes no numbers (BASELINE.md), so the
+comparison point is a FLOPs-derived V100 estimate for the same model
+documented in BASELINE.md (constant multiscale AdaIN, rp5/h32, 512px
+stylization ≈ 59.4 GFLOP/image ⇒ ~90 img/s at an optimistic 50% of V100
+fp32 peak plus framework overheads). vs_baseline = measured / 90.
+
+Extra diagnostics (per-dtype throughput, p50 latency) go to stderr.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "src"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V100_BASELINE_IMG_PER_S = 90.0
+IMG = 512
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(dtype_name: str):
+    from rpst.config import load_config
+    from rpst.models import build_model
+    cfg = load_config(dict(network="multi_adain", enc_stack_way="constant",
+                           rp_blocks=5, hidden_dim=32, inception_num=0,
+                           attention="none", img_size=IMG,
+                           compute_dtype=dtype_name))
+    return build_model(cfg)
+
+
+def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3):
+    """Time ``iters`` chained stylize passes inside ONE jitted program and
+    fetch a scalar — robust against async dispatch and remote-tunnel
+    runtimes where per-call block_until_ready doesn't measure compute."""
+    rng = jax.random.PRNGKey(0)
+    content = jnp.asarray(
+        np.random.default_rng(0).random((batch, IMG, IMG, 3), np.float32))
+    style = jnp.asarray(
+        np.random.default_rng(1).random((batch, IMG, IMG, 3), np.float32))
+    variables = bundle.model.init(rng, content, style, train=False)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_n(variables, content, style, n):
+        def body(i, carry):
+            c, acc = carry
+            # i-dependent input perturbation prevents loop-invariant hoisting
+            c = c.at[0, 0, 0, 0].add(1e-12 * i)
+            out = bundle.model.apply(variables, c, style, train=False)
+            return (c, acc + jnp.mean(out))
+
+        _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
+        return acc
+
+    float(run_n(variables, content, style, 2))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run_n(variables, content, style, iters))
+        best = min(best, time.perf_counter() - t0)
+    per_pass = best / iters
+    return batch / per_pass, per_pass
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    results = {}
+    for dtype in ("float32", "bfloat16"):
+        bundle = build(dtype)
+        best_ips, best_batch, p50_b1 = 0.0, 0, None
+        for batch in (1, 4, 8):
+            try:
+                ips, med = bench_stylize(bundle, batch)
+            except Exception as e:  # OOM etc.
+                log(f"{dtype} batch={batch}: {type(e).__name__}: {e}")
+                break
+            log(f"{dtype} batch={batch}: {ips:.2f} img/s "
+                f"(median {med*1e3:.1f} ms)")
+            if batch == 1:
+                p50_b1 = med
+            if ips > best_ips:
+                best_ips, best_batch = ips, batch
+        results[dtype] = (best_ips, best_batch, p50_b1)
+
+    best_dtype = max(results, key=lambda d: results[d][0])
+    ips, batch, p50 = results[best_dtype]
+    log(f"best: {best_dtype} batch={batch} {ips:.2f} img/s; "
+        f"p50 batch-1 latency {results[best_dtype][2]*1e3:.1f} ms")
+    print(json.dumps({
+        "metric": f"512px stylized images/sec/chip "
+                  f"(multi_adain constant rp5/h32, {best_dtype}, "
+                  f"batch {batch})",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(ips / V100_BASELINE_IMG_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

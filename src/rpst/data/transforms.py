@@ -1,0 +1,46 @@
+"""Host-side image transforms matching the reference pipeline exactly.
+
+The reference transform is ``transforms.Resize((img_size, img_size))`` +
+``ToTensor()`` (``train.py:41-46``): an aspect-squashing bilinear resize to
+a square, then [0,1] float — **no mean/std normalization** (the VGG's 1x1
+head bakes it in, ``base.py:58``)."""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image, ImageFile
+
+# match reference robustness settings (train.py:25-27)
+Image.MAX_IMAGE_PIXELS = None
+ImageFile.LOAD_TRUNCATED_IMAGES = True
+
+
+def load_image(path, img_size: int) -> np.ndarray:
+    """PIL load → RGB → (img_size, img_size) bilinear squash → f32 HWC [0,1]."""
+    img = Image.open(str(path)).convert("RGB")
+    if img_size:
+        img = img.resize((img_size, img_size), Image.BILINEAR)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def load_mask(path, img_size: int) -> np.ndarray:
+    """Segmentation mask → (img_size, img_size) int32 label map.
+
+    Nearest-neighbor resize (labels must not be interpolated). Multi-channel
+    masks use the first channel."""
+    img = Image.open(str(path))
+    if img_size:
+        img = img.resize((img_size, img_size), Image.NEAREST)
+    arr = np.asarray(img)
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    return arr.astype(np.int32)
+
+
+def to_image(array) -> Image.Image:
+    """NHWC/HWC float [0,1] → PIL image (clip like torchvision save_image)."""
+    arr = np.asarray(array)
+    if arr.ndim == 4:
+        arr = arr[0]
+    arr = np.clip(arr, 0.0, 1.0)
+    return Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8), "RGB")

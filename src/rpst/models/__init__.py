@@ -1,0 +1,205 @@
+"""Model registry: one entry per reference network name.
+
+The reference dispatches on ``opt['network']`` through a 16-way if/elif
+(``train.py:94-125``); here a table.  Unlike the reference's accidental
+class shadowing (``network/__init__.py`` star-import order makes
+``seg_adain_rp.AdaINRPNet`` temporarily shadow the real one — SURVEY §2.3),
+exports are explicit.
+
+Each entry builds a :class:`ModelBundle` exposing a uniform functional
+surface for the drivers:
+  * ``init(rng, content, style)``            → variables
+  * ``loss(variables, vgg_vars, c, s, rngs)`` → (total, (loss_dict, muts))
+  * ``stylize(variables, vgg_vars, c, s, ...)`` → image  (the reference's
+    ``network.test`` path, with masks when the method supports them)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..nn.vgg import VGG19Encoder
+from .adain_rp import AdaINRP, CCAMRP, MSTRP, MultiScaleAdaINRP, SELastRP
+from .base import perceptual_rp_losses
+from .ld_adain import LDAdaINRP
+from .mrf_rp import MRFRP
+from .sanet import SAModel
+from .seg_adain import SegAdaINRP
+from .spade_rp import SpadeRP
+from .src_adain import SourceNet
+from .wct_rp import WCTRP
+
+__all__ = ["build_model", "ModelBundle", "AdaINRP", "MultiScaleAdaINRP",
+           "CCAMRP", "SELastRP", "MSTRP", "LDAdaINRP", "WCTRP", "MRFRP",
+           "SpadeRP", "SourceNet", "SAModel", "SegAdaINRP"]
+
+# networks whose stylize() consumes VGG feature lists instead of images
+_FEAT_MODELS = ("src", "sanet", "dynamic_sanet")
+# networks that accept test-time extras (masks / shuffle)
+_TEST_MODE_MODELS = ("multi_adain", "sel_multi_adain", "ccam", "mst",
+                     "ld_adain", "ld_adain2", "ld_adain3", "ld_adain4",
+                     "ld_adain5")
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    network: str
+    model: Any
+    vgg: VGG19Encoder
+    vgg_stages: int
+    cfg: Config
+
+    # ------------------------------------------------------------------
+    def init(self, rng, content, style, vgg_vars):
+        if self.network in _FEAT_MODELS:
+            feats = self.vgg.apply(vgg_vars, content)
+            sfeats = self.vgg.apply(vgg_vars, style)
+            return self.model.init(rng, feats, sfeats)
+        return self.model.init(rng, content, style, train=True)
+
+    # ------------------------------------------------------------------
+    def _vgg_features(self, vgg_vars):
+        return lambda x: self.vgg.apply(vgg_vars, x)
+
+    def _mix(self, parts: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        c = self.cfg
+        total = (c.content_weight * parts["content_loss"]
+                 + c.style_weight * parts["style_loss"])
+        if "mrf_loss" in parts:
+            total = total + c.mrf_weight * parts["mrf_loss"]
+        if "l_identity1_loss" in parts:
+            total = total + (c.l_identity1_weight * parts["l_identity1_loss"]
+                             + c.l_identity2_weight * parts["l_identity2_loss"])
+        if "seg_loss" in parts:
+            total = total + parts["seg_loss"]
+        return total
+
+    def loss(self, variables, vgg_vars, content, style,
+             train: bool = True) -> Tuple[jnp.ndarray, Tuple[Dict, Dict]]:
+        vgg_features = self._vgg_features(vgg_vars)
+        mutable = ["batch_stats"] if "batch_stats" in variables else False
+        model = self.model
+
+        if self.network in ("mrf",) + _FEAT_MODELS or self.network == "seg_adain":
+            # model-specific loss methods
+            out = model.apply(variables, vgg_features, content, style,
+                              train=train, method=model.loss,
+                              mutable=mutable)
+            parts, muts = out if mutable else (out, {})
+        else:
+            out = model.apply(variables, content, style, train=train,
+                              mutable=mutable)
+            stylized, muts = out if mutable else (out, {})
+            parts, _ = perceptual_rp_losses(
+                vgg_features, stylized, style, content,
+                self.cfg.content_weight, self.cfg.style_weight)
+            parts = {k: v for k, v in parts.items() if k != "total_loss"}
+        total = self._mix(parts)
+        parts = dict(parts)
+        parts["total_loss"] = total
+        return total, (parts, muts)
+
+    # ------------------------------------------------------------------
+    def stylize(self, variables, vgg_vars, content, style,
+                c_labels=None, s_labels=None):
+        """Inference path — the reference's ``network.test``."""
+        model = self.model
+        if self.network in _FEAT_MODELS:
+            cf = self.vgg.apply(vgg_vars, content)
+            sf = self.vgg.apply(vgg_vars, style)
+            if self.network == "src":
+                return model.apply(variables, cf, sf, c_labels, s_labels,
+                                   True)
+            return model.apply(variables, cf, sf)
+        kwargs = dict(train=False)
+        if self.network in _TEST_MODE_MODELS:
+            kwargs.update(test_mode=True, c_labels=c_labels,
+                          s_labels=s_labels)
+        elif self.network in ("adain", "seg_adain"):
+            kwargs.update(c_labels=c_labels, s_labels=s_labels)
+        return model.apply(variables, content, style, **kwargs)
+
+
+def build_model(cfg: Config) -> ModelBundle:
+    n = cfg.network
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    common = dict(dtype=dtype)
+
+    if n == "adain":
+        model = AdaINRP(rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
+                        **common)
+    elif n == "multi_adain":
+        model = MultiScaleAdaINRP(
+            rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
+            enc_stack_way=_stack_way(cfg), inception_num=cfg.inception_num,
+            attention=cfg.attention, shuffle=bool(cfg.shuffle),
+            shuffle_layers=cfg.shuffle_layers, sort=bool(cfg.sort),
+            use_mask=bool(cfg.use_mask), max_seg_labels=cfg.max_seg_labels,
+            **common)
+    elif n == "sel_multi_adain":
+        model = SELastRP(
+            rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
+            enc_stack_way=_stack_way(cfg), inception_num=cfg.inception_num,
+            attention=cfg.attention, use_mask=bool(cfg.use_mask),
+            max_seg_labels=cfg.max_seg_labels, **common)
+    elif n == "ccam":
+        model = CCAMRP(
+            rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
+            enc_stack_way=_stack_way(cfg), inception_num=cfg.inception_num,
+            attention=cfg.attention, shuffle=bool(cfg.shuffle),
+            shuffle_layers=cfg.shuffle_layers, sort=bool(cfg.sort),
+            stylized_layers=cfg.stylized_layers,
+            use_mask=bool(cfg.use_mask), max_seg_labels=cfg.max_seg_labels,
+            **common)
+    elif n == "mst":
+        model = MSTRP(
+            rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
+            enc_stack_way=_stack_way(cfg), inception_num=cfg.inception_num,
+            attention=cfg.attention, stylized_layers=cfg.stylized_layers,
+            **common)
+    elif n in ("ld_adain", "ld_adain2", "ld_adain3", "ld_adain4", "ld_adain5"):
+        variant = 1 if n == "ld_adain" else int(n[-1])
+        model = LDAdaINRP(
+            variant=variant, layer_num=cfg.ld_layer_num,
+            hidden_dim=cfg.hidden_dim, stylized_layers=cfg.stylized_layers,
+            inception_num=cfg.inception_num, use_mask=bool(cfg.use_mask),
+            max_seg_labels=cfg.max_seg_labels, **common)
+    elif n == "wct":
+        model = WCTRP(rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
+                      **common)
+    elif n == "mrf":
+        model = MRFRP(rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
+                      k=cfg.k, **common)
+    elif n == "spade":
+        model = SpadeRP(rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
+                        ndf=cfg.ndf, spade_norm=cfg.spade_norm, **common)
+    elif n == "src":
+        model = SourceNet(use_mask=bool(cfg.use_mask),
+                          max_seg_labels=cfg.max_seg_labels, **common)
+    elif n == "sanet":
+        model = SAModel(adaptive=False, img_size=cfg.img_size, **common)
+    elif n == "dynamic_sanet":
+        model = SAModel(adaptive=True, img_size=cfg.img_size,
+                        ada_module=cfg.ada_module, **common)
+    elif n == "seg_adain":
+        model = SegAdaINRP(rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
+                           class_num=cfg.class_num,
+                           seg_hidden_dim=cfg.seg_hidden_dim, **common)
+    else:
+        raise ValueError(f"unknown network {n!r}")
+
+    vgg_stages = 5 if n in ("sanet", "dynamic_sanet") else 4
+    vgg = VGG19Encoder(num_stages=vgg_stages, dtype=dtype)
+    return ModelBundle(network=n, model=model, vgg=vgg,
+                       vgg_stages=vgg_stages, cfg=cfg)
+
+
+def _stack_way(cfg: Config) -> str:
+    way = cfg.enc_stack_way
+    # 'adain'/'NONE' appear in reference YAMLs for nets that ignore the key
+    return way if way in ("deeper", "constant") else "constant"

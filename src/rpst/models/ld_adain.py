@@ -1,0 +1,217 @@
+"""LDMS ("Large-receptive-field Dual-branch MultiScale") AdaIN RP family.
+
+Reference ``network/adain_rp.py:484-858`` — five variants, all sharing the
+idea of pairing a small-receptive-field branch with a big-RF branch at
+every RP layer and fusing channel-wise:
+
+  v1 (``ld_adain``)  : big RF = 7x7 Conv2dBlock; widths double per layer;
+                       single fused stream (adain_rp.py:484-567)
+  v2 (``ld_adain2``) : big RF = pooled VGG-ish branch, nearest re-upsample;
+                       single fused stream (adain_rp.py:570-625)
+  v3 (``ld_adain3``) : two *separate* streams (fine/coarse), constant
+                       width, fuse only for the decoder; element-wise-sum
+                       decode (adain_rp.py:628-708)
+  v4 (``ld_adain4``) : v3 with channel-concat decode and the fusion taken
+                       from the *content* features (adain_rp.py:711-819)
+  v5 (``ld_adain5``) : v4 with learned ConvTranspose upsampling instead of
+                       nearest interpolation (adain_rp.py:822-858)
+
+Reference quirks preserved/documented:
+  * v1-v3 decode with ``stylized_layers < layer_num`` computes
+    ``stylized + []`` in torch (a TypeError, adain_rp.py:543-552) — i.e.
+    those settings are unrunnable upstream; here the un-fused path cleanly
+    skips the addition.
+  * the v1/v2 shallower-scale fusion is ``AdaIN(stylized, style_feat)``
+    (adain_rp.py:550) while v4/v5 fuse ``AdaIN(content_feat, style_feat)``
+    (adain_rp.py:791) — both kept exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.blocks import Conv2dBlock, PadConv, make_torch_bias_init, \
+    torch_conv_kernel_init
+from ..ops.segment import masked_adain_batch
+from ..ops.stats import adaptive_instance_normalization as adain
+
+
+def _resize_nearest(x, h, w):
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, h, w, c), method="nearest")
+
+
+class VGGishBigBranch(nn.Module):
+    """The pooled big-RF branch of v2-v5 (adain_rp.py:586-594 etc.):
+    conv1x1 → (reflect-pad, 3x3 conv, relu) ×2 → ceil-mode maxpool
+    [→ trailing reflection pad for v2/v3]."""
+    features: int
+    trailing_pad: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        x = nn.Conv(self.features, (1, 1), use_bias=True,
+                    kernel_init=torch_conv_kernel_init,
+                    bias_init=make_torch_bias_init(fan_in),
+                    dtype=self.dtype, name="conv1x1")(x)
+        x = nn.relu(PadConv(self.features, 3, 1, 1, "reflect",
+                            dtype=self.dtype, name="conv_a")(x))
+        x = nn.relu(PadConv(self.features, 3, 1, 1, "reflect",
+                            dtype=self.dtype, name="conv_b")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+        if self.trailing_pad:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        return x
+
+
+class LDAdaINRP(nn.Module):
+    variant: int = 1  # 1..5
+    layer_num: int = 5
+    hidden_dim: int = 16
+    stylized_layers: int = 5
+    inception_num: int = 0
+    use_mask: bool = False
+    max_seg_labels: int = 64
+    dtype: Any = None
+
+    def setup(self):
+        assert self.variant in (1, 2, 3, 4, 5)
+        L, h = self.layer_num, self.hidden_dim
+        doubling = self.variant in (1, 2)
+        widths = [h * 2 ** i for i in range(L)] if doubling else [h] * L
+
+        smalls, bigs = [], []
+        for i, w in enumerate(widths):
+            smalls.append(Conv2dBlock(
+                features=w, kernel_size=3, padding=1,
+                inception_num=self.inception_num, dtype=self.dtype,
+                name=f"rp_enc{i}_small_revf"))
+            if self.variant == 1:
+                bigs.append(Conv2dBlock(
+                    features=w, kernel_size=7, padding=3,
+                    inception_num=self.inception_num, dtype=self.dtype,
+                    name=f"rp_enc{i}_big_revf"))
+            else:
+                bigs.append(VGGishBigBranch(
+                    features=w, trailing_pad=self.variant in (2, 3),
+                    dtype=self.dtype, name=f"rp_enc{i}_big_revf"))
+        self.smalls, self.bigs = smalls, bigs
+        self.enc_out = widths[-1]
+
+        self.decs = self._build_decoders(L, self.enc_out)
+
+        if self.variant == 5:
+            self.ups = [nn.ConvTranspose(
+                features=h, kernel_size=(2 ** (i + 1),) * 2,
+                strides=(2 ** (i + 1),) * 2, dtype=self.dtype,
+                name=f"up_{i}") for i in range(L)]
+
+    def _build_decoders(self, L: int, enc_out: int) -> List[Conv2dBlock]:
+        sl = self.stylized_layers
+        mk = lambda i, fout: Conv2dBlock(
+            features=fout, kernel_size=3, padding=1,
+            inception_num=self.inception_num, dtype=self.dtype,
+            name=f"rp_dec{i}")
+        decs = []
+        if self.variant in (1, 2):
+            # adain_rp.py:517-536 (in-dims implicit in flax; out-dims match)
+            hidden = enc_out
+            for i in range(L - 1):
+                if i < sl - 1:
+                    decs.append(mk(i, hidden))
+                else:
+                    decs.append(mk(i, hidden // 2))
+                hidden //= 2
+            decs.append(mk(L - 1, 3))
+        elif self.variant == 3:
+            # adain_rp.py:670-688
+            hidden = enc_out
+            for i in range(L - 1):
+                if i < sl - 1:
+                    decs.append(mk(i, hidden * 2))
+                else:
+                    decs.append(mk(i, hidden))
+            decs.append(mk(L - 1, 3))
+        else:  # v4 / v5: adain_rp.py:751-778
+            hidden = enc_out
+            for i in range(L - 1):
+                if i < sl - 1:
+                    decs.append(mk(i, hidden * 2))
+                else:
+                    decs.append(mk(i, hidden))
+            decs.append(mk(L - 1, 3))
+        return decs
+
+    # ------------------------------------------------------------------
+    def encode_intermediate(self, x, train: bool = False):
+        L = self.layer_num
+        if self.variant in (1, 2):
+            feats, cur = [], x
+            for i in range(L):
+                s = self.smalls[i](cur, train=train)
+                b = self.bigs[i](cur) if self.variant != 1 else \
+                    self.bigs[i](cur, train=train)
+                if self.variant == 2:
+                    b = _resize_nearest(b, s.shape[1], s.shape[2])
+                cur = jnp.concatenate([s, b], axis=-1)
+                feats.append(cur)
+            return feats
+        # v3/v4/v5: separate fine and coarse streams
+        feats, fine, coarse = [], x, x
+        for i in range(L):
+            fine = self.smalls[i](fine, train=train)
+            coarse = self.bigs[i](coarse)
+            if self.variant == 5:
+                b = self.ups[i](coarse)
+                # ConvTranspose output may overshoot fine's dims when the
+                # coarse stream carries the reference's odd pad/pool sizes;
+                # crop/resize to the fine grid (reference aligns via exact
+                # power-of-two sizes only).
+                if b.shape[1:3] != fine.shape[1:3]:
+                    b = _resize_nearest(b, fine.shape[1], fine.shape[2])
+            else:
+                b = _resize_nearest(coarse, fine.shape[1], fine.shape[2])
+            feats.append(jnp.concatenate([fine, b], axis=-1))
+        return feats
+
+    def decode(self, content_feats, style_feats, c_labels=None, s_labels=None,
+               use_mask: bool = False, train: bool = False):
+        L_lbl = self.max_seg_labels
+
+        def fuse_content(cf, sf):
+            if use_mask and c_labels is not None:
+                return masked_adain_batch(cf, sf, c_labels, s_labels, L_lbl)
+            return adain(cf, sf)
+
+        stylized = fuse_content(content_feats[-1], style_feats[-1])
+        stylized = self.decs[0](stylized, train=train)
+        pairs = list(zip(content_feats[:-1], style_feats[:-1]))[::-1]
+        for i, (cf, sf) in enumerate(pairs):
+            if self.variant in (4, 5):
+                prefix = fuse_content(cf, sf)  # content-side fusion (791)
+                stylized = self.decs[i + 1](
+                    jnp.concatenate([stylized, prefix], axis=-1), train=train)
+            else:
+                if i < self.stylized_layers - 1:
+                    if use_mask and c_labels is not None:
+                        fusion = masked_adain_batch(cf, sf, c_labels,
+                                                    s_labels, L_lbl)
+                    else:
+                        fusion = adain(stylized, sf)  # running-fusion (550)
+                    stylized = self.decs[i + 1](stylized + fusion, train=train)
+                else:
+                    stylized = self.decs[i + 1](stylized, train=train)
+        return stylized
+
+    def __call__(self, content, style, train: bool = False,
+                 c_labels=None, s_labels=None, test_mode: bool = False):
+        cf = self.encode_intermediate(content, train=train)
+        sf = self.encode_intermediate(style, train=train)
+        return self.decode(cf, sf, c_labels, s_labels,
+                           use_mask=self.use_mask and test_mode, train=train)

@@ -1,0 +1,231 @@
+"""Style-attentional networks; reference ``network/sanet.py``.
+
+  * SANetAttention     — sanet.py:73-99: 1x1 f/g/h convs on mean-variance
+    normalized features, HW×HW softmax attention, residual output.
+  * AEAModule / AEALReluModule — sanet.py:26-71: learned per-query soft
+    attention thresholds over the content-style cosine affinity.
+  * AdaptiveSANetAttention — sanet.py:100-138.
+  * Transform / AdaptiveTransform — sanet.py:140-160: merge relu4_1 +
+    upsampled relu5_1 attention outputs through a 3x3 conv.
+  * SAModel / AdaptiveSAModel — sanet.py:196-423: transform + VGG-mirror
+    decoder over a frozen 5-stage VGG; content (normalized, relu4_1 +
+    relu5_1), style stats (relu1_1..relu5_1) and two identity losses.
+
+The HW×HW attention is this framework's "long context" problem (at 512 px,
+relu4_1 has HW=4096). The dense path below is the parity path; the
+blockwise Pallas kernel in ``rpst.ops.pallas.flash_attention`` is the TPU
+fast path for inference (numerically identical softmax(QKᵀ)V up to
+reassociation; the adaptive variant's per-row threshold keeps the dense
+matrix because the threshold MLP consumes whole affinity rows).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.blocks import PadConv, make_torch_bias_init, torch_conv_kernel_init
+from ..nn.decoder import VGGMirrorDecoder, upsample_nearest_2x
+from ..ops.affinity import cal_affinity_matrix
+from ..ops.stats import mean_variance_norm
+from .base import mse, normalized_content_loss, style_stat_loss
+
+
+def _linear(features, name):
+    def bias_init(key, shape, dtype=jnp.float32):
+        return jnp.zeros(shape, dtype)
+    return nn.Dense(features,
+                    kernel_init=lambda k, s, d=jnp.float32: jax.random.uniform(
+                        k, s, d, -1.0 / jnp.sqrt(s[0]), 1.0 / jnp.sqrt(s[0])),
+                    bias_init=bias_init, name=name)
+
+
+def _conv1x1(features, name):
+    return nn.Conv(features, (1, 1), use_bias=True,
+                   kernel_init=torch_conv_kernel_init, name=name)
+
+
+class SANetAttention(nn.Module):
+    """Single style-attention module (sanet.py:73-99). NHWC."""
+    in_planes: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, content, style):
+        F = _conv1x1(self.in_planes, "f")(mean_variance_norm(content))
+        G = _conv1x1(self.in_planes, "g")(mean_variance_norm(style))
+        H = _conv1x1(self.in_planes, "h")(style)
+        n, hc, wc, c = F.shape
+        _, hs, ws, _ = G.shape
+        Fm = F.reshape(n, hc * wc, c)
+        Gm = G.reshape(n, hs * ws, c)
+        Hm = H.reshape(n, hs * ws, c)
+        S = jax.nn.softmax(
+            jnp.einsum("npc,nqc->npq", Fm, Gm), axis=-1)  # (N, HWc, HWs)
+        O = jnp.einsum("npq,nqc->npc", S, Hm).reshape(n, hc, wc, c)
+        O = _conv1x1(self.in_planes, "out_conv")(O)
+        return O + content
+
+
+class AEAModule(nn.Module):
+    """Adaptive threshold MLP over affinity rows (sanet.py:26-46)."""
+    inplanes: int  # = HW of the style side (spatial_dims)
+    scale_value: float = 50.0
+    from_value: float = 0.4
+    value_interval: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, f_x):
+        # x: (N, HWc, HWs) affinity; f_x: (N, HWc, HWs) softmaxed attention
+        n, hw, c = x.shape
+        h = nn.leaky_relu(_linear(self.inplanes // 16, "psi0")(x), 0.2)
+        clamp = nn.sigmoid(_linear(1, "psi1")(h))  # (N, HWc, 1)
+        clamp = clamp * self.value_interval + self.from_value
+        clamp_fx = nn.sigmoid(self.scale_value * (f_x - clamp))
+        return clamp_fx, clamp
+
+
+class AEALReluModule(nn.Module):
+    """tanh + relu + softmax threshold variant (sanet.py:49-71)."""
+    inplanes: int
+
+    @nn.compact
+    def __call__(self, x, f_x):
+        h = nn.leaky_relu(_linear(self.inplanes // 16, "psi0")(x), 0.2)
+        clamp = (jnp.tanh(_linear(1, "psi1")(h)) + 1.0) / 2.0
+        clamp_fx = jax.nn.softmax(nn.relu(f_x - clamp), axis=-1)
+        return clamp_fx, clamp
+
+
+class AdaptiveSANetAttention(nn.Module):
+    """SANet + learned attention threshold (sanet.py:100-138).
+
+    Returns (output, aux) where aux carries the threshold/attention maps
+    the reference stashes on the module for visualization."""
+    in_planes: int
+    spatial_dims: int
+    ada_module: str = "aea"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, content, style):
+        F = _conv1x1(self.in_planes, "f")(mean_variance_norm(content))
+        G = _conv1x1(self.in_planes, "g")(mean_variance_norm(style))
+        H = _conv1x1(self.in_planes, "h")(style)
+        affinity = cal_affinity_matrix(content, style)  # (N, HWc, HWs)
+        n, hc, wc, c = F.shape
+        _, hs, ws, _ = G.shape
+        Fm = F.reshape(n, hc * wc, c)
+        Gm = G.reshape(n, hs * ws, c)
+        Hm = H.reshape(n, hs * ws, c)
+        S = jax.nn.softmax(jnp.einsum("npc,nqc->npq", Fm, Gm), axis=-1)
+        claim_before = S
+        att_mod = (AEAModule(self.spatial_dims, name="aea")
+                   if self.ada_module == "aea"
+                   else AEALReluModule(self.spatial_dims, name="aea"))
+        S, claim_value = att_mod(affinity, S)
+        O = jnp.einsum("npq,nqc->npc", S, Hm).reshape(n, hc, wc, c)
+        O = _conv1x1(self.in_planes, "out_conv")(O) + content
+        aux = {"claim_value": claim_value, "claim_before": claim_before,
+               "claim_after": S}
+        return O, aux
+
+
+class Transform(nn.Module):
+    """Merge relu4_1 and upsampled relu5_1 attention (sanet.py:140-149)."""
+    in_planes: int = 512
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, c4, s4, c5, s5):
+        a4 = SANetAttention(self.in_planes, name="sanet4_1")(c4, s4)
+        a5 = SANetAttention(self.in_planes, name="sanet5_1")(c5, s5)
+        merged = a4 + upsample_nearest_2x(a5)
+        return PadConv(self.in_planes, 3, 1, 1, "reflect",
+                       name="merge_conv")(merged)
+
+
+class AdaptiveTransform(nn.Module):
+    in_planes: int = 512
+    relu4_1_dims: int = 4096
+    relu5_1_dims: int = 1024
+    ada_module: str = "aea"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, c4, s4, c5, s5):
+        a4, aux4 = AdaptiveSANetAttention(
+            self.in_planes, self.relu4_1_dims, self.ada_module,
+            name="sanet4_1")(c4, s4)
+        a5, aux5 = AdaptiveSANetAttention(
+            self.in_planes, self.relu5_1_dims, self.ada_module,
+            name="sanet5_1")(c5, s5)
+        merged = a4 + upsample_nearest_2x(a5)
+        out = PadConv(self.in_planes, 3, 1, 1, "reflect",
+                      name="merge_conv")(merged)
+        return out, {"relu4_1": aux4, "relu5_1": aux5}
+
+
+class SAModel(nn.Module):
+    """Static SANet model (sanet.py:196-275): trains transform + decoder."""
+    adaptive: bool = False
+    img_size: int = 512
+    ada_module: str = "aea"
+    dtype: Any = None
+
+    def setup(self):
+        if self.adaptive:
+            self.transform = AdaptiveTransform(
+                in_planes=512,
+                relu4_1_dims=(self.img_size // 2 ** 3) ** 2,
+                relu5_1_dims=(self.img_size // 2 ** 4) ** 2,
+                ada_module=self.ada_module, dtype=self.dtype)
+        else:
+            self.transform = Transform(in_planes=512, dtype=self.dtype)
+        self.decoder = VGGMirrorDecoder(dtype=self.dtype)
+
+    def _transform(self, c4, s4, c5, s5):
+        if self.adaptive:
+            out, _aux = self.transform(c4, s4, c5, s5)
+            return out
+        return self.transform(c4, s4, c5, s5)
+
+    def stylize_from_feats(self, content_feats, style_feats):
+        fusion = self._transform(content_feats[3], style_feats[3],
+                                 content_feats[4], style_feats[4])
+        return self.decoder(fusion)
+
+    def __call__(self, content_feats, style_feats):
+        return self.stylize_from_feats(content_feats, style_feats)
+
+    def loss(self, vgg_features, content, style,
+             train: bool = True) -> Dict[str, jnp.ndarray]:
+        """Loss components (sanet.py:248-275): normalized content loss on
+        relu4_1+relu5_1, style stats over 5 stages, two identity losses."""
+        content_feats = jax.lax.stop_gradient(vgg_features(content))
+        style_feats = jax.lax.stop_gradient(vgg_features(style))
+        g_t = self.stylize_from_feats(content_feats, style_feats)
+        g_t_feats = vgg_features(g_t)
+
+        loss_c = (normalized_content_loss(g_t_feats[3], content_feats[3])
+                  + normalized_content_loss(g_t_feats[4], content_feats[4]))
+        loss_s = sum(style_stat_loss(g, jax.lax.stop_gradient(s))
+                     for g, s in zip(g_t_feats, style_feats))
+
+        Icc = self.stylize_from_feats(content_feats, content_feats)
+        Iss = self.stylize_from_feats(style_feats, style_feats)
+        l_identity1 = mse(Icc, content) + mse(Iss, style)
+        Fcc = vgg_features(Icc)
+        Fss = vgg_features(Iss)
+        l_identity2 = sum(
+            mse(a, jax.lax.stop_gradient(b)) + mse(c, jax.lax.stop_gradient(d))
+            for a, b, c, d in zip(Fcc, content_feats, Fss, style_feats))
+        return {
+            "content_loss": loss_c,
+            "style_loss": loss_s,
+            "l_identity1_loss": l_identity1,
+            "l_identity2_loss": l_identity2,
+        }

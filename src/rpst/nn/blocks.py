@@ -130,7 +130,7 @@ class Conv2dBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_attention: bool = False):
         x = PadConv(self.features, self.kernel_size, self.stride,
                     self.padding, self.pad_type, dtype=self.dtype)(x)
         for i in range(self.inception_num or 0):
@@ -156,6 +156,7 @@ class Conv2dBlock(nn.Module):
         elif self.activation != "none":
             x = _ACTIVATIONS[self.activation](x)
 
+        att = None
         if self.attention == "se":
             x, att = SEBottleneck(planes=self.features, dtype=self.dtype)(
                 x, train=train)
@@ -163,6 +164,8 @@ class Conv2dBlock(nn.Module):
         elif self.attention == "sk":
             x = SKBottleneck(planes=self.features, dtype=self.dtype)(
                 x, train=train)
+        if return_attention:
+            return x, att
         return x
 
 
@@ -250,6 +253,16 @@ class RPStack(nn.Module):
             x = blk(x, train=train)
             feats.append(x)
         return feats
+
+    def intermediates_with_attention(self, x, train: bool = False):
+        """Per-layer features plus SE attention maps (None when the block
+        has no attention); used by ``sort_by_weights`` semantics."""
+        feats, atts = [], []
+        for blk in self.blocks:
+            x, att = blk(x, train=train, return_attention=True)
+            feats.append(x)
+            atts.append(att)
+        return feats, atts
 
     def apply_block(self, x, idx: int, train: bool = False):
         return self.blocks[idx](x, train=train)

@@ -71,10 +71,13 @@ def masked_adain(content_feat: jnp.ndarray, style_feat: jnp.ndarray,
     valid = ((c_count > 10) & (s_count > 10)
              & (c_count < 100 * s_count) & (s_count < 100 * c_count))
 
-    # gather each pixel's label statistics
-    pix_valid = valid[cl][:, None]  # (Pc, 1)
-    pm_c, ps_c = c_mean[cl], c_std[cl]  # (Pc, C)
-    pm_s, ps_s = s_mean[cl], s_std[cl]
+    # gather each pixel's label statistics; labels outside [0, L) are
+    # invalid by definition (jax clips gather indices, so guard explicitly)
+    in_range = (cl >= 0) & (cl < num_labels)
+    cl_safe = jnp.clip(cl, 0, num_labels - 1)
+    pix_valid = (valid[cl_safe] & in_range)[:, None]  # (Pc, 1)
+    pm_c, ps_c = c_mean[cl_safe], c_std[cl_safe]  # (Pc, C)
+    pm_s, ps_s = s_mean[cl_safe], s_std[cl_safe]
     normalized = (cf - pm_c) / ps_c * ps_s + pm_s
     out = jnp.where(pix_valid, normalized, cf)
     return out.reshape(h, w, c).astype(content_feat.dtype)

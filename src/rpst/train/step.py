@@ -1,0 +1,111 @@
+"""Jitted training step: grad + Adam + the reference lr schedule.
+
+The reference optimizes with ``torch.optim.Adam(params, lr)`` at default
+betas (ignoring its own config's beta1/beta2 — train.py:172) and rescales
+the lr before every step to ``lr / (1 + lr_decay * i)`` with ``i`` starting
+at 1 (train.py:57-61, 182).  Reproduced exactly with an optax schedule.
+
+Everything (loss, grads, optimizer, batch-stat updates) happens inside one
+``jit``; VGG parameters enter as arguments so the compiled step is
+constant-free and reusable across weight sets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models import ModelBundle
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    extra: Any  # non-trainable collections (batch_stats), possibly {}
+    opt_state: Any
+    rng: jnp.ndarray
+
+
+def reference_lr_schedule(lr: float, lr_decay: float):
+    """lr / (1 + decay * i), i = 1-based step count (train.py:57-61)."""
+    def schedule(count):
+        return lr / (1.0 + lr_decay * (count + 1.0))
+    return schedule
+
+
+def make_optimizer(cfg, freeze_prefixes: Tuple[str, ...] = ()):
+    tx = optax.adam(reference_lr_schedule(cfg.lr, cfg.lr_decay))
+    if freeze_prefixes:
+        # WCT resume freezes the encoder loaded from an AdaIN checkpoint
+        # (wct_rp.py:67-72): route frozen subtrees to zero updates.
+        def label_fn(params):
+            def label(path, _):
+                top = path[0].key if hasattr(path[0], "key") else str(path[0])
+                return "frozen" if top in freeze_prefixes else "train"
+            return jax.tree_util.tree_map_with_path(label, params)
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label_fn)
+    return tx
+
+
+def create_train_state(bundle: ModelBundle, rng, sample_content, sample_style,
+                       vgg_vars, freeze_prefixes: Tuple[str, ...] = ()):
+    init_rng, state_rng = jax.random.split(rng)
+    variables = bundle.init(init_rng, sample_content, sample_style, vgg_vars)
+    params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    tx = make_optimizer(bundle.cfg, freeze_prefixes)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      extra=extra, opt_state=tx.init(params),
+                      rng=state_rng), tx
+
+
+def make_train_step(bundle: ModelBundle, tx) -> Callable:
+    """Build the jitted step: (state, vgg_vars, content, style) →
+    (new_state, loss_dict)."""
+
+    def step_fn(state: TrainState, vgg_vars, content, style):
+        def loss_fn(params):
+            total, (parts, muts) = bundle.loss(
+                {"params": params, **state.extra}, vgg_vars, content, style,
+                train=True)
+            return total, (parts, muts)
+
+        (_, (parts, muts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        extra = dict(state.extra)
+        extra.update(muts)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  extra=extra, opt_state=opt_state)
+        return new_state, parts
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_stylize_fn(bundle: ModelBundle) -> Callable:
+    """Jitted inference fn with optional masks (static presence)."""
+
+    @jax.jit
+    def stylize(params_and_extra, vgg_vars, content, style):
+        return bundle.stylize(params_and_extra, vgg_vars, content, style)
+
+    @jax.jit
+    def stylize_masked(params_and_extra, vgg_vars, content, style,
+                       c_labels, s_labels):
+        return bundle.stylize(params_and_extra, vgg_vars, content, style,
+                              c_labels=c_labels, s_labels=s_labels)
+
+    def fn(variables, vgg_vars, content, style, c_labels=None, s_labels=None):
+        if c_labels is None:
+            return stylize(variables, vgg_vars, content, style)
+        return stylize_masked(variables, vgg_vars, content, style,
+                              c_labels, s_labels)
+
+    return fn

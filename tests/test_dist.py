@@ -1,0 +1,98 @@
+"""Multi-device correctness on the 8-virtual-CPU mesh.
+
+Data-parallel and spatially-sharded train steps must produce the same
+numbers as the single-device step — XLA inserts the all-reduces/halo
+exchanges; these tests prove the shardings don't change the math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rpst.config import load_config
+from rpst.dist import make_mesh, make_sharded_train_step, replicate, \
+    shard_batch
+from rpst.models import build_model
+from rpst.nn.vgg import init_vgg_params
+from rpst.train import create_train_state, make_train_step
+
+BASE = dict(network="multi_adain", enc_stack_way="constant", rp_blocks=3,
+            hidden_dim=8, img_size=16, batch_size=8, lr=1e-3, lr_decay=0.0)
+
+
+def _setup():
+    cfg = load_config(BASE)
+    bundle = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    c = jnp.asarray(np.random.default_rng(0).random((8, 16, 16, 3), np.float32))
+    s = jnp.asarray(np.random.default_rng(1).random((8, 16, 16, 3), np.float32))
+    _, vgg_vars = init_vgg_params(rng, num_stages=bundle.vgg_stages)
+    state, tx = create_train_state(bundle, rng, c, s, vgg_vars)
+    return bundle, tx, state, vgg_vars, c, s
+
+
+def test_mesh_construction():
+    mesh = make_mesh({"data": 4, "spatial": 2})
+    assert mesh.axis_names == ("data", "spatial")
+    assert mesh.devices.shape == (4, 2)
+
+
+def test_dp_matches_single_device():
+    bundle, tx, state, vgg_vars, c, s = _setup()
+    single_step = make_train_step(bundle, tx)
+    ref_state, ref_parts = single_step(state, vgg_vars, c, s)
+
+    bundle2, tx2, state2, vgg_vars2, _, _ = _setup()
+    mesh = make_mesh({"data": 8})
+    state2 = replicate(state2, mesh)
+    vgg_vars2 = replicate(vgg_vars2, mesh)
+    cd = shard_batch(c, mesh)
+    sd = shard_batch(s, mesh)
+    dp_step = make_sharded_train_step(bundle2, tx2, mesh)
+    dp_state, dp_parts = dp_step(state2, vgg_vars2, cd, sd)
+
+    np.testing.assert_allclose(float(ref_parts["total_loss"]),
+                               float(dp_parts["total_loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(dp_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_sharding_matches_single_device():
+    """Image-height sharding (halo exchange through stride-1 convs)."""
+    bundle, tx, state, vgg_vars, c, s = _setup()
+    single_step = make_train_step(bundle, tx)
+    ref_state, ref_parts = single_step(state, vgg_vars, c, s)
+
+    bundle2, tx2, state2, vgg_vars2, _, _ = _setup()
+    mesh = make_mesh({"data": 4, "spatial": 2})
+    state2 = replicate(state2, mesh)
+    vgg_vars2 = replicate(vgg_vars2, mesh)
+    cd = shard_batch(c, mesh, spatial=True)
+    sd = shard_batch(s, mesh, spatial=True)
+    sp_step = make_sharded_train_step(bundle2, tx2, mesh, spatial=True)
+    sp_state, sp_parts = sp_step(state2, vgg_vars2, cd, sd)
+
+    np.testing.assert_allclose(float(ref_parts["total_loss"]),
+                               float(sp_parts["total_loss"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_wct_dp_step_runs():
+    """WCT's per-sample eigh under vmap must partition over the mesh."""
+    cfg = load_config({**BASE, "network": "wct"})
+    bundle = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    c = jnp.asarray(np.random.default_rng(0).random((8, 16, 16, 3), np.float32))
+    s = jnp.asarray(np.random.default_rng(1).random((8, 16, 16, 3), np.float32))
+    _, vgg_vars = init_vgg_params(rng, num_stages=bundle.vgg_stages)
+    state, tx = create_train_state(bundle, rng, c, s, vgg_vars)
+    mesh = make_mesh({"data": 8})
+    state = replicate(state, mesh)
+    vgg_vars = replicate(vgg_vars, mesh)
+    step = make_sharded_train_step(bundle, tx, mesh)
+    new_state, parts = step(state, vgg_vars, shard_batch(c, mesh),
+                            shard_batch(s, mesh))
+    assert np.isfinite(float(parts["total_loss"]))

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Training driver — drop-in CLI equivalent of the reference ``train.py``.
+
+Same flag (``--config <yaml>``), same YAML files (config/rl|v100 load
+verbatim), same output tree (``<output>/{logs,checkpoints,test}``), same
+cadence keys (log_iter/test_iter/snapshot_save_iter), same loss mixing and
+lr schedule.  Differences by design:
+
+  * runs on TPU via JAX; the model, optimizer, and loss are one jitted SPMD
+    program (multi-device via ``mesh_shape`` in the config),
+  * checkpoints are unified orbax pytrees {params, opt_state, step, rng}
+    (the reference saves bare weight dicts and parses the resume step from
+    the filename — SURVEY §2.3),
+  * errors are not swallowed per-iteration (the reference wraps every step
+    in try/except-continue, train.py:179,229-231).
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "src"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rpst.config import load_config
+from rpst.data import ImageFolderDataset, InfiniteLoader, build_test_dataset, \
+    iter_batches
+from rpst.models import build_model
+from rpst.nn.vgg import init_vgg_params, load_vgg_params
+from rpst.train import (MetricWriter, create_train_state, latest_step,
+                        make_train_step, restore_checkpoint, save_checkpoint)
+from rpst.train.metrics import logger, save_image, save_image_row
+from rpst.train.step import make_stylize_fn
+from rpst.dist import make_mesh, make_sharded_train_step, replicate, shard_batch
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str,
+                        default="config/TrainConfig.yaml",
+                        help="Config of training RPNet.")
+    parser.add_argument("--set", nargs="*", default=[],
+                        help="key=value config overrides")
+    args = parser.parse_args()
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        import yaml as _yaml
+        overrides[k] = _yaml.safe_load(v)
+    cfg = load_config(args.config, overrides)
+
+    output = Path(cfg.output)
+    for sub in ("logs", "checkpoints", "test"):
+        (output / sub).mkdir(exist_ok=True, parents=True)
+    writer = MetricWriter(output)
+
+    bundle = build_model(cfg)
+    if cfg.vgg and Path(cfg.vgg).exists():
+        _, vgg_vars = load_vgg_params(cfg.vgg, num_stages=bundle.vgg_stages)
+        logger.info(f"Loaded VGG weights from {cfg.vgg}")
+    else:
+        _, vgg_vars = init_vgg_params(jax.random.PRNGKey(cfg.seed + 1),
+                                      num_stages=bundle.vgg_stages)
+        logger.warning(
+            f"VGG weights {cfg.vgg!r} not found — using random init "
+            f"(perceptual losses will be meaningless; fine for smoke runs)")
+
+    # --- data -------------------------------------------------------------
+    content_ds = ImageFolderDataset(cfg.content_dir, cfg.img_size, fmt="*")
+    style_ds = ImageFolderDataset(cfg.style_dir, cfg.img_size, fmt="*/*")
+    if len(style_ds) == 0:  # reference uses '*/*' for wikiart subdirs
+        style_ds = ImageFolderDataset(cfg.style_dir, cfg.img_size, fmt="*")
+    assert len(content_ds) > 0, f"no content images in {cfg.content_dir}"
+    assert len(style_ds) > 0, f"no style images in {cfg.style_dir}"
+    content_iter = InfiniteLoader(content_ds, cfg.batch_size,
+                                  cfg.num_workers, seed=cfg.seed)
+    style_iter = InfiniteLoader(style_ds, cfg.batch_size, cfg.num_workers,
+                                seed=cfg.seed + 1)
+    test_ds = build_test_dataset(cfg) if cfg.test_dir else None
+
+    # --- state ------------------------------------------------------------
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample_c = jnp.zeros((cfg.batch_size, cfg.img_size, cfg.img_size, 3))
+    freeze = ("encoder",) if (cfg.network == "wct" and cfg.resume) else ()
+    state, tx = create_train_state(bundle, rng, sample_c, sample_c, vgg_vars,
+                                   freeze_prefixes=freeze)
+
+    begin = 0
+    if cfg.resume:
+        ckpt = cfg.checkpoint_path or None
+        if not ckpt:
+            step = latest_step(output / "checkpoints")
+            ckpt = output / "checkpoints" / str(step) if step else None
+        if ckpt and Path(ckpt).exists():
+            state = restore_checkpoint(ckpt, state)
+            begin = int(state.step)
+            logger.info(f"Loaded checkpoint from {ckpt} (step {begin})")
+        else:
+            logger.warning(f"resume requested but no checkpoint at {ckpt}")
+
+    mesh = None
+    if cfg.mesh_shape:
+        mesh = make_mesh(cfg.mesh_shape)
+        state = replicate(state, mesh)
+        vgg_vars = replicate(vgg_vars, mesh)
+        train_step = make_sharded_train_step(bundle, tx, mesh)
+        logger.info(f"Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    else:
+        train_step = make_train_step(bundle, tx)
+    stylize = make_stylize_fn(bundle)
+
+    def run_test_dump(iteration: int):
+        out_dir = output / "test" / f"{iteration}"
+        out_dir.mkdir(exist_ok=True, parents=True)
+        variables = {"params": jax.device_get(state.params),
+                     **jax.device_get(state.extra)}
+        for content, style, c_names, s_names, c_m, s_m in iter_batches(
+                test_ds, cfg.batch_size):
+            use_mask = bool(cfg.use_mask) and c_m is not None
+            stylized = stylize(variables, vgg_vars, jnp.asarray(content),
+                               jnp.asarray(style),
+                               jnp.asarray(c_m) if use_mask else None,
+                               jnp.asarray(s_m) if use_mask else None)
+            stylized = np.asarray(stylized)
+            for b, (cn, sn) in enumerate(zip(c_names, s_names)):
+                save_image_row([content[b], style[b], stylized[b]],
+                               out_dir / f"{cn}-{sn}-cat.png")
+                save_image(stylized[b], out_dir / f"{cn}-{sn}.png")
+                logger.info(f"Proceed {cn}-{sn}.")
+
+    # --- hot loop (train.py:177-231) ---------------------------------------
+    for i in range(1, cfg.max_iter):
+        start = time.time()
+        content = jnp.asarray(next(content_iter))
+        style = jnp.asarray(next(style_iter))
+        if mesh is not None:
+            content = shard_batch(content, mesh)
+            style = shard_batch(style, mesh)
+        state, loss_dict = train_step(state, vgg_vars, content, style)
+
+        if i % cfg.log_iter == 0:
+            loss_dict = jax.device_get(loss_dict)
+            writer.write(begin + i, loss_dict)
+            elapsed = round(time.time() - start, 2)
+            loss_str = "".join(f", {k} {float(v)}"
+                               for k, v in loss_dict.items())
+            logger.info(f"Iterations {begin + i}, "
+                        f"elapsed time: {elapsed}{loss_str}")
+
+        if test_ds is not None and i % cfg.test_iter == 0:
+            run_test_dump(begin + i)
+
+        if i % cfg.snapshot_save_iter == 0 or (i + 1) == cfg.max_iter:
+            path = save_checkpoint(output / "checkpoints", state)
+            logger.info(f"Saved checkpoint {path}")
+
+    content_iter.close()
+    style_iter.close()
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()
