@@ -67,7 +67,8 @@ def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3):
         _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
         return acc
 
-    float(run_n(variables, content, style, 2))  # compile + warm
+    # compile + warm with the same static n (different n ⇒ different program)
+    float(run_n(variables, content, style, iters))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()

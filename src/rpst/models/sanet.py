@@ -49,12 +49,19 @@ def _conv1x1(features, name):
 
 
 class SANetAttention(nn.Module):
-    """Single style-attention module (sanet.py:73-99). NHWC."""
+    """Single style-attention module (sanet.py:73-99). NHWC.
+
+    On TPU the HW×HW softmax attention runs through the blockwise Pallas
+    kernel (``rpst.ops.pallas.flash_attention``) — O(HW·C) memory instead
+    of the reference's dense O(HW²) matrix; on CPU (tests) the dense path
+    is used (bit-compatible up to reassociation)."""
     in_planes: int
     dtype: Any = None
 
     @nn.compact
     def __call__(self, content, style):
+        from ..ops.pallas.flash_attention import (_dense_attention,
+                                                  sanet_attention)
         F = _conv1x1(self.in_planes, "f")(mean_variance_norm(content))
         G = _conv1x1(self.in_planes, "g")(mean_variance_norm(style))
         H = _conv1x1(self.in_planes, "h")(style)
@@ -63,9 +70,11 @@ class SANetAttention(nn.Module):
         Fm = F.reshape(n, hc * wc, c)
         Gm = G.reshape(n, hs * ws, c)
         Hm = H.reshape(n, hs * ws, c)
-        S = jax.nn.softmax(
-            jnp.einsum("npc,nqc->npq", Fm, Gm), axis=-1)  # (N, HWc, HWs)
-        O = jnp.einsum("npq,nqc->npc", S, Hm).reshape(n, hc, wc, c)
+        if jax.default_backend() == "tpu":
+            O = sanet_attention(Fm, Gm, Hm)
+        else:
+            O = _dense_attention(Fm, Gm, Hm)
+        O = O.reshape(n, hc, wc, c)
         O = _conv1x1(self.in_planes, "out_conv")(O)
         return O + content
 

@@ -65,9 +65,16 @@ def create_train_state(bundle: ModelBundle, rng, sample_content, sample_style,
                       rng=state_rng), tx
 
 
-def make_train_step(bundle: ModelBundle, tx) -> Callable:
+def make_train_step(bundle: ModelBundle, tx,
+                    skip_nonfinite: bool = True) -> Callable:
     """Build the jitted step: (state, vgg_vars, content, style) →
-    (new_state, loss_dict)."""
+    (new_state, loss_dict).
+
+    ``skip_nonfinite`` is the principled version of the reference's
+    blanket per-iteration ``try/except: pass`` (train.py:179,229-231): a
+    non-finite loss or gradient skips the whole update in-graph (params
+    unchanged) and reports ``skipped=1`` in the loss dict instead of
+    silently diverging or swallowing errors."""
 
     def step_fn(state: TrainState, vgg_vars, content, style):
         def loss_fn(params):
@@ -76,7 +83,7 @@ def make_train_step(bundle: ModelBundle, tx) -> Callable:
                 train=True)
             return total, (parts, muts)
 
-        (_, (parts, muts)), grads = jax.value_and_grad(
+        (total, (parts, muts)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -84,6 +91,13 @@ def make_train_step(bundle: ModelBundle, tx) -> Callable:
         extra.update(muts)
         new_state = state.replace(step=state.step + 1, params=params,
                                   extra=extra, opt_state=opt_state)
+        if skip_nonfinite:
+            from .fault import apply_update_if_finite
+            guarded, skipped = apply_update_if_finite(
+                state.replace(step=state.step + 1), new_state, total, grads)
+            new_state = guarded
+            parts = dict(parts)
+            parts["skipped"] = skipped.astype(jnp.float32)
         return new_state, parts
 
     return jax.jit(step_fn, donate_argnums=(0,))

@@ -133,30 +133,37 @@ def main():
                 logger.info(f"Proceed {cn}-{sn}.")
 
     # --- hot loop (train.py:177-231) ---------------------------------------
-    for i in range(1, cfg.max_iter):
-        start = time.time()
-        content = jnp.asarray(next(content_iter))
-        style = jnp.asarray(next(style_iter))
-        if mesh is not None:
-            content = shard_batch(content, mesh)
-            style = shard_batch(style, mesh)
-        state, loss_dict = train_step(state, vgg_vars, content, style)
+    from rpst.train.fault import CheckpointOnSignal
+    with CheckpointOnSignal() as stop:
+        for i in range(1, cfg.max_iter):
+            start = time.time()
+            content = jnp.asarray(next(content_iter))
+            style = jnp.asarray(next(style_iter))
+            if mesh is not None:
+                content = shard_batch(content, mesh)
+                style = shard_batch(style, mesh)
+            state, loss_dict = train_step(state, vgg_vars, content, style)
 
-        if i % cfg.log_iter == 0:
-            loss_dict = jax.device_get(loss_dict)
-            writer.write(begin + i, loss_dict)
-            elapsed = round(time.time() - start, 2)
-            loss_str = "".join(f", {k} {float(v)}"
-                               for k, v in loss_dict.items())
-            logger.info(f"Iterations {begin + i}, "
-                        f"elapsed time: {elapsed}{loss_str}")
+            if i % cfg.log_iter == 0:
+                loss_dict = jax.device_get(loss_dict)
+                writer.write(begin + i, loss_dict)
+                elapsed = round(time.time() - start, 2)
+                loss_str = "".join(f", {k} {float(v)}"
+                                   for k, v in loss_dict.items())
+                logger.info(f"Iterations {begin + i}, "
+                            f"elapsed time: {elapsed}{loss_str}")
 
-        if test_ds is not None and i % cfg.test_iter == 0:
-            run_test_dump(begin + i)
+            if test_ds is not None and i % cfg.test_iter == 0:
+                run_test_dump(begin + i)
 
-        if i % cfg.snapshot_save_iter == 0 or (i + 1) == cfg.max_iter:
-            path = save_checkpoint(output / "checkpoints", state)
-            logger.info(f"Saved checkpoint {path}")
+            if (i % cfg.snapshot_save_iter == 0 or (i + 1) == cfg.max_iter
+                    or stop.requested):
+                path = save_checkpoint(output / "checkpoints", state)
+                logger.info(f"Saved checkpoint {path}")
+            if stop.requested:
+                logger.info("Preemption signal received — checkpointed, "
+                            "exiting cleanly")
+                break
 
     content_iter.close()
     style_iter.close()
