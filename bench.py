@@ -42,10 +42,15 @@ def build(dtype_name: str):
     return build_model(cfg)
 
 
-def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3):
+def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3,
+                  folded: bool = False):
     """Time ``iters`` chained stylize passes inside ONE jitted program and
     fetch a scalar — robust against async dispatch and remote-tunnel
-    runtimes where per-call block_until_ready doesn't measure compute."""
+    runtimes where per-call block_until_ready doesn't measure compute.
+
+    ``folded=True`` uses the space-to-depth execution strategy
+    (``rpst.models.fast_path``) — exact same model/params, ~4x less HBM
+    traffic at hidden_dim=32 (see BASELINE.md)."""
     rng = jax.random.PRNGKey(0)
     content = jnp.asarray(
         np.random.default_rng(0).random((batch, IMG, IMG, 3), np.float32))
@@ -55,13 +60,22 @@ def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3):
 
     from functools import partial
 
+    if folded:
+        from rpst.models.fast_path import stylize_multi_adain_folded
+
+        def apply(variables, c, s):
+            return stylize_multi_adain_folded(variables["params"], c, s)
+    else:
+        def apply(variables, c, s):
+            return bundle.model.apply(variables, c, s, train=False)
+
     @partial(jax.jit, static_argnames=("n",))
     def run_n(variables, content, style, n):
         def body(i, carry):
             c, acc = carry
             # i-dependent input perturbation prevents loop-invariant hoisting
             c = c.at[0, 0, 0, 0].add(1e-12 * i)
-            out = bundle.model.apply(variables, c, style, train=False)
+            out = apply(variables, c, style)
             return (c, acc + jnp.mean(out))
 
         _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
@@ -81,30 +95,32 @@ def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3):
 def main():
     log(f"devices: {jax.devices()}")
     results = {}
-    for dtype in ("float32", "bfloat16"):
+    variants = (("bfloat16-folded", "bfloat16", True),
+                ("bfloat16", "bfloat16", False))
+    for name, dtype, folded in variants:
         bundle = build(dtype)
         best_ips, best_batch, p50_b1 = 0.0, 0, None
-        for batch in (1, 4, 8):
+        for batch in (1, 8):
             try:
-                ips, med = bench_stylize(bundle, batch)
+                ips, med = bench_stylize(bundle, batch, folded=folded)
             except Exception as e:  # OOM etc.
-                log(f"{dtype} batch={batch}: {type(e).__name__}: {e}")
+                log(f"{name} batch={batch}: {type(e).__name__}: {e}")
                 break
-            log(f"{dtype} batch={batch}: {ips:.2f} img/s "
+            log(f"{name} batch={batch}: {ips:.2f} img/s "
                 f"(median {med*1e3:.1f} ms)")
             if batch == 1:
                 p50_b1 = med
             if ips > best_ips:
                 best_ips, best_batch = ips, batch
-        results[dtype] = (best_ips, best_batch, p50_b1)
+        results[name] = (best_ips, best_batch, p50_b1)
 
-    best_dtype = max(results, key=lambda d: results[d][0])
-    ips, batch, p50 = results[best_dtype]
-    log(f"best: {best_dtype} batch={batch} {ips:.2f} img/s; "
-        f"p50 batch-1 latency {results[best_dtype][2]*1e3:.1f} ms")
+    best_name = max(results, key=lambda d: results[d][0])
+    ips, batch, p50 = results[best_name]
+    log(f"best: {best_name} batch={batch} {ips:.2f} img/s; "
+        f"p50 batch-1 latency {p50*1e3:.1f} ms")
     print(json.dumps({
         "metric": f"512px stylized images/sec/chip "
-                  f"(multi_adain constant rp5/h32, {best_dtype}, "
+                  f"(multi_adain constant rp5/h32, {best_name}, "
                   f"batch {batch})",
         "value": round(ips, 2),
         "unit": "img/s",

@@ -1,0 +1,71 @@
+"""Folded (space-to-depth) inference fast path for the flagship model.
+
+``stylize_multi_adain_folded`` runs MultiScaleAdaINRP (constant stack, no
+attention/inception — the benchmark flagship) entirely in the folded
+(H/2, W/2, 4C) domain using the exact transformations in
+``rpst.ops.folded``: fold once at the input, every conv/pad/AdaIN/lrelu in
+folded space, unfold once at the output.  Consumes the SAME parameter
+pytree as the standard model — it is an execution strategy, not a
+different model — and is validated equal to the standard path in
+``tests/test_folded.py``.
+
+Motivation (measured, see BASELINE.md): at hidden_dim=32 the standard
+NHWC path is HBM-bound with 4x lane padding; folding fills the 128-wide
+lanes and roughly quarters the memory traffic at the cost of 4x MACs —
+a large net win for a bandwidth-bound model.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.folded import (fold, fold_bias, fold_conv_kernel, folded_adain,
+                          folded_conv, unfold)
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0, x, 0.2 * x)
+
+
+def _folded_blocks(tree):
+    """[(folded_kernel, folded_bias)] from an RPStack param subtree."""
+    out = []
+    i = 0
+    while f"block_{i}" in tree:
+        conv = tree[f"block_{i}"]["PadConv_0"]["Conv_0"]
+        out.append((fold_conv_kernel(conv["kernel"]),
+                    fold_bias(conv["bias"])))
+        i += 1
+    return out
+
+
+def stylize_multi_adain_folded(params, content, style,
+                               dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Folded-domain equivalent of MultiScaleAdaINRP.__call__ (constant
+    stack): encode both images keeping all intermediates, AdaIN at the
+    deepest scale, then per-scale residual re-fusion through the decoder
+    (semantics of reference adain_rp.py:187-191, 286-302)."""
+    enc = _folded_blocks(params["rp_shared_encoder"])
+    dec = _folded_blocks(params["rp_decoder"])
+
+    def encode(img):
+        x = fold(img.astype(dtype))
+        feats = []
+        for k, b in enc:
+            x = _lrelu(folded_conv(x, k.astype(dtype), b.astype(dtype)))
+            feats.append(x)
+        return feats
+
+    c_feats = encode(content)
+    s_feats = encode(style)
+
+    stylized = folded_adain(c_feats[-1], s_feats[-1])
+    k, b = dec[0]
+    stylized = _lrelu(folded_conv(stylized, k.astype(dtype), b.astype(dtype)))
+    pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+    for i, (cf, sf) in enumerate(pairs):
+        fusion = folded_adain(cf, sf)
+        k, b = dec[i + 1]
+        stylized = _lrelu(folded_conv(stylized + fusion, k.astype(dtype),
+                                      b.astype(dtype)))
+    return unfold(stylized).astype(content.dtype)

@@ -1,0 +1,172 @@
+"""Space-to-depth ("folded") execution of stride-1 RP conv stacks.
+
+Why: the RP family's hidden width is 16-32 channels, but the TPU vector
+lane width is 128 — in NHWC every activation is physically padded 4-8x in
+the channel (lane) dimension, making the flagship purely HBM-bound (XLA
+cost analysis: ~8.9 GB accessed for 64 GFLOP at 512px).  Folding 2x2
+spatial blocks into channels (H, W, C) → (H/2, W/2, 4C) fills the lanes
+and cuts real memory traffic ~4x.
+
+Everything here is **exact**, not an approximation:
+
+  * a stride-1 3x3 conv on the image equals a stride-1 3x3 conv on the
+    folded tensor with a structurally-sparse (3, 3, 4C_in, 4C_out) kernel
+    (``fold_conv_kernel``): output sub-position (oi, oj) tap (di, dj)
+    reads folded offset floor((oi+di)/2) at input sub-position
+    ((oi+di) mod 2, ...) — 9 distinct taps per output block, the rest
+    zeros.  4x the MACs of the unfolded conv, but the model is
+    bandwidth-bound, so trading FLOPs for lane fill wins.
+  * 1-pixel reflection padding equals a channel-block-permuted slice
+    concat in the folded domain (``folded_reflect_pad``): the reflected
+    original rows/cols are existing sub-position blocks of interior folded
+    pixels.
+  * AdaIN statistics combine exactly across the 4 sub-position blocks of
+    each original channel (``folded_calc_mean_std``), and the affine
+    normalization applies blockwise.
+
+Channel layout: folded channel (2*si + sj)*C + c holds original pixel
+(2i+si, 2j+sj, c).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def fold(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) → (N, H/2, W/2, 4C). H, W must be even."""
+    n, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (N, H/2, W/2, si, sj, C)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def unfold(x_f: jnp.ndarray) -> jnp.ndarray:
+    """(N, H/2, W/2, 4C) → (N, H, W, C)."""
+    n, hh, ww, c4 = x_f.shape
+    c = c4 // 4
+    x = x_f.reshape(n, hh, ww, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, hh * 2, ww * 2, c)
+
+
+def fold_conv_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) → (3, 3, 4Cin, 4Cout) folded-equivalent kernel."""
+    kh, kw, cin, cout = kernel.shape
+    assert kh == 3 and kw == 3, "folded path supports 3x3 kernels"
+    kf = jnp.zeros((3, 3, 4 * cin, 4 * cout), kernel.dtype)
+    for oi in range(2):
+        for oj in range(2):
+            s_out = 2 * oi + oj
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    fr, si = divmod(oi + di, 2)
+                    fc, sj = divmod(oj + dj, 2)
+                    s_in = 2 * si + sj
+                    kf = kf.at[fr + 1, fc + 1,
+                               s_in * cin:(s_in + 1) * cin,
+                               s_out * cout:(s_out + 1) * cout].set(
+                                   kernel[di + 1, dj + 1])
+    return kf
+
+
+def fold_bias(bias: jnp.ndarray) -> jnp.ndarray:
+    """(C,) → (4C,): each sub-position block shares the original bias."""
+    return jnp.tile(bias, 4)
+
+
+def _row_blocks(x_f, si: int):
+    """Channels of sub-row si: layout blocks {0,1} (si=0) or {2,3} (si=1)
+    are contiguous: first/last 2C."""
+    c4 = x_f.shape[-1]
+    half = c4 // 2
+    return x_f[..., :half] if si == 0 else x_f[..., half:]
+
+
+def _col_blocks(x_f, sj: int):
+    """Channels of sub-col sj: blocks {0,2} (sj=0) / {1,3} (sj=1) —
+    interleaved; select via a (4, C) view."""
+    n, h, w, c4 = x_f.shape
+    c = c4 // 4
+    v = x_f.reshape(n, h, w, 4, c)
+    idx = (0, 2) if sj == 0 else (1, 3)
+    return v[..., idx, :]  # (N, H, W, 2, C)
+
+
+def folded_reflect_pad(x_f: jnp.ndarray) -> jnp.ndarray:
+    """1-original-pixel ReflectionPad2d in the folded domain → +1 folded
+    ring on each side, built from channel-permuted interior slices.
+
+    Ring content (rows; cols analogous): folded row -1 holds original rows
+    (-2, -1) = reflected rows (2, 1) = (row 1's sub-row-0 block, row 0's
+    sub-row-1 block). Only the original ±1 row/col is ever read by the
+    folded kernel's non-zero taps; the ±2 entries carry true reflect
+    values anyway."""
+    n, h, w, c4 = x_f.shape
+    c = c4 // 4
+    half = c4 // 2
+
+    # --- rows ---
+    top = jnp.concatenate([_row_blocks(x_f[:, 1:2], 0),
+                           _row_blocks(x_f[:, 0:1], 1)], axis=-1)
+    bottom = jnp.concatenate([_row_blocks(x_f[:, h - 1:h], 0),
+                              _row_blocks(x_f[:, h - 2:h - 1], 1)], axis=-1)
+    x_f = jnp.concatenate([top, x_f, bottom], axis=1)  # (N, H+2, W, 4C)
+
+    # --- cols (on the row-padded tensor; corners fall out automatically) ---
+    hp = h + 2
+    left0 = _col_blocks(x_f[:, :, 1:2], 0)   # (N, Hp, 1, 2, C): orig col 2
+    left1 = _col_blocks(x_f[:, :, 0:1], 1)   # orig col 1
+    right0 = _col_blocks(x_f[:, :, w - 1:w], 0)  # orig col W-2
+    right1 = _col_blocks(x_f[:, :, w - 2:w - 1], 1)  # orig col W-3
+
+    def pack(c0, c1):
+        # interleave back into layout (s0,s1,s2,s3) = (r0c0, r0c1, r1c0, r1c1)
+        out = jnp.stack([c0[..., 0, :], c1[..., 0, :],
+                         c0[..., 1, :], c1[..., 1, :]], axis=-2)
+        return out.reshape(n, hp, 1, c4)
+
+    left = pack(left0, left1)
+    right = pack(right0, right1)
+    return jnp.concatenate([left, x_f, right], axis=2)
+
+
+def folded_conv(x_f: jnp.ndarray, folded_kernel: jnp.ndarray,
+                folded_bias: jnp.ndarray) -> jnp.ndarray:
+    """Reflect-pad + 3x3 VALID conv + bias, all in the folded domain."""
+    x_fp = folded_reflect_pad(x_f)
+    y = jax.lax.conv_general_dilated(
+        x_fp, folded_kernel, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + folded_bias
+
+
+def folded_calc_mean_std(x_f: jnp.ndarray, eps: float = 1e-5):
+    """Per-original-channel instance stats from the folded tensor.
+
+    Returns mean, std of shape (N, 1, 1, 4C) (already block-tiled for
+    direct application). Matches ``ops.stats.calc_mean_std`` exactly
+    (unbiased variance over the original H*W, eps inside sqrt)."""
+    n, hh, ww, c4 = x_f.shape
+    c = c4 // 4
+    m = hh * ww * 4  # original pixel count per channel
+    v = x_f.astype(jnp.float32).reshape(n, hh * ww, 4, c)
+    s1 = jnp.sum(v, axis=(1, 2))       # (N, C)
+    s2 = jnp.sum(v * v, axis=(1, 2))   # (N, C)
+    mean = s1 / m
+    var = (s2 - m * mean * mean) / max(m - 1, 1)
+    std = jnp.sqrt(jnp.maximum(var, 0.0) + eps)
+    mean4 = jnp.tile(mean, (1, 4))[:, None, None, :].astype(x_f.dtype)
+    std4 = jnp.tile(std, (1, 4))[:, None, None, :].astype(x_f.dtype)
+    return mean4, std4
+
+
+def folded_adain(content_f: jnp.ndarray, style_f: jnp.ndarray,
+                 eps: float = 1e-5) -> jnp.ndarray:
+    cm, cs = folded_calc_mean_std(content_f, eps)
+    sm, ss = folded_calc_mean_std(style_f, eps)
+    return (content_f - cm) / cs * ss + sm

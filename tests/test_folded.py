@@ -1,0 +1,72 @@
+"""Folded (space-to-depth) execution — exactness tests vs the standard
+path: same params, same inputs, (near-)identical outputs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rpst.config import load_config
+from rpst.models import build_model
+from rpst.models.fast_path import stylize_multi_adain_folded
+from rpst.nn.vgg import init_vgg_params
+from rpst.ops.folded import (fold, fold_bias, fold_conv_kernel, folded_adain,
+                             folded_conv, folded_reflect_pad, unfold)
+from rpst.ops.stats import adaptive_instance_normalization
+
+
+def test_fold_unfold_roundtrip(rng):
+    x = jnp.asarray(rng.random((2, 16, 12, 5)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(unfold(fold(x))), np.asarray(x))
+
+
+def test_folded_conv_matches_reference_conv(rng):
+    """Folded reflect-pad conv == reflect-pad conv on the image."""
+    x = jnp.asarray(rng.random((1, 16, 16, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 6)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    expected = jax.lax.conv_general_dilated(
+        xp, k, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    got = unfold(folded_conv(fold(x), fold_conv_kernel(k), fold_bias(b)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_folded_reflect_pad_ring_values(rng):
+    """The folded ring carries exactly the reflect-padded original pixels."""
+    x = jnp.asarray(rng.random((1, 8, 8, 4)).astype(np.float32))
+    xp_ref = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
+    got = unfold(folded_reflect_pad(fold(x)))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(xp_ref))
+
+
+def test_folded_adain_matches(rng):
+    c = jnp.asarray(rng.random((2, 16, 16, 8)).astype(np.float32) * 3)
+    s = jnp.asarray(rng.random((2, 16, 16, 8)).astype(np.float32) + 1)
+    expected = adaptive_instance_normalization(c, s)
+    got = unfold(folded_adain(fold(c), fold(s)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_folded_flagship_matches_standard_path(rng):
+    """Full flagship stylize: folded execution == standard execution with
+    the same parameters (f32 to isolate reassociation error)."""
+    cfg = load_config(dict(network="multi_adain", enc_stack_way="constant",
+                           rp_blocks=4, hidden_dim=8, img_size=32))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+
+    standard = np.asarray(bundle.stylize(variables, vgg_vars, content, style))
+    folded = np.asarray(stylize_multi_adain_folded(
+        variables["params"], content, style, dtype=jnp.float32))
+    np.testing.assert_allclose(folded, standard, rtol=1e-4, atol=1e-4)
+    mae = np.abs(folded - standard).mean()
+    assert mae < 1e-5, mae
