@@ -110,6 +110,7 @@ DEFAULTS: Dict[str, Any] = {
     "mesh_shape": None,  # e.g. {'data': 8}; None = single device
     "wct_dtype": "float32",  # reference uses float64 on GPU; TPU default f32
     "max_seg_labels": 64,  # static label universe for masked AdaIN
+    "remat": False,  # rematerialize forward on backward (activation memory)
 }
 
 

@@ -105,6 +105,16 @@ class ModelBundle:
         return total, (parts, muts)
 
     # ------------------------------------------------------------------
+    def stylize_with_aux(self, variables, vgg_vars, content, style):
+        """Stylize and return visualization aux (adaptive-SANet claim maps;
+        the reference dumps these in test(), sanet.py:334-366)."""
+        if self.network == "dynamic_sanet":
+            cf = self.vgg.apply(vgg_vars, content)
+            sf = self.vgg.apply(vgg_vars, style)
+            return self.model.apply(variables, cf, sf,
+                                    method=self.model.stylize_with_aux)
+        return self.stylize(variables, vgg_vars, content, style), {}
+
     def stylize(self, variables, vgg_vars, content, style,
                 c_labels=None, s_labels=None):
         """Inference path — the reference's ``network.test``."""

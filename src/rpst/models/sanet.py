@@ -207,6 +207,15 @@ class SAModel(nn.Module):
                                  content_feats[4], style_feats[4])
         return self.decoder(fusion)
 
+    def stylize_with_aux(self, content_feats, style_feats):
+        """Stylize and return the adaptive claim maps for visualization
+        (the reference dumps them in test(), sanet.py:334-366)."""
+        if not self.adaptive:
+            return self.stylize_from_feats(content_feats, style_feats), {}
+        fusion, aux = self.transform(content_feats[3], style_feats[3],
+                                     content_feats[4], style_feats[4])
+        return self.decoder(fusion), aux
+
     def __call__(self, content_feats, style_feats):
         return self.stylize_from_feats(content_feats, style_feats)
 

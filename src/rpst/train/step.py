@@ -76,12 +76,21 @@ def make_train_step(bundle: ModelBundle, tx,
     unchanged) and reports ``skipped=1`` in the loss dict instead of
     silently diverging or swallowing errors."""
 
+    remat = bool(bundle.cfg.get("remat", False))
+
     def step_fn(state: TrainState, vgg_vars, content, style):
         def loss_fn(params):
             total, (parts, muts) = bundle.loss(
                 {"params": params, **state.extra}, vgg_vars, content, style,
                 train=True)
             return total, (parts, muts)
+
+        if remat:
+            # Rematerialize the forward pass on the backward sweep: the RP
+            # nets keep full 512² resolution at every layer, so activation
+            # memory (not weights) is the training scaling wall (SURVEY §5)
+            # — trade FLOPs for HBM.
+            loss_fn = jax.checkpoint(loss_fn)
 
         (total, (parts, muts)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

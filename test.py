@@ -70,13 +70,23 @@ def main():
     stylize = make_stylize_fn(bundle)
 
     test_ds = build_test_dataset(cfg)
-    for content, style, c_names, s_names, c_m, s_m in iter_batches(
-            test_ds, cfg.batch_size):
+    for idx, (content, style, c_names, s_names, c_m, s_m) in enumerate(
+            iter_batches(test_ds, cfg.batch_size)):
         use_mask = bool(cfg.use_mask) and c_m is not None
-        stylized = stylize(variables, vgg_vars, jnp.asarray(content),
-                           jnp.asarray(style),
-                           jnp.asarray(c_m) if use_mask else None,
-                           jnp.asarray(s_m) if use_mask else None)
+        if cfg.network == "dynamic_sanet":
+            # dump the adaptive attention claim maps like the reference
+            # test() (sanet.py:334-366)
+            stylized, aux = jax.jit(bundle.stylize_with_aux)(
+                variables, vgg_vars, jnp.asarray(content),
+                jnp.asarray(style))
+            from rpst.viz import save_claim_maps
+            save_claim_maps(jax.device_get(aux["relu5_1"]), output,
+                            iterations=int(state.step), bid=idx)
+        else:
+            stylized = stylize(variables, vgg_vars, jnp.asarray(content),
+                               jnp.asarray(style),
+                               jnp.asarray(c_m) if use_mask else None,
+                               jnp.asarray(s_m) if use_mask else None)
         stylized = np.asarray(stylized)
         for b, (cn, sn) in enumerate(zip(c_names, s_names)):
             save_image_row([content[b], style[b], stylized[b]],
