@@ -43,6 +43,19 @@ def test_folded_reflect_pad_ring_values(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(xp_ref))
 
 
+def test_folded_conv_bc_matches_ring(rng):
+    """Boundary-corrected conv == ring-padded conv (both exact)."""
+    for (h, w) in ((16, 16), (8, 12)):
+        x = jnp.asarray(rng.random((2, h, w, 8)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, 8, 8)).astype(np.float32) * 0.3)
+        b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+        kf, bf = fold_conv_kernel(k), fold_bias(b)
+        ring = folded_conv(fold(x), kf, bf, impl="ring")
+        bc = folded_conv(fold(x), kf, bf, impl="bc")
+        np.testing.assert_allclose(np.asarray(bc), np.asarray(ring),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_folded_adain_matches(rng):
     c = jnp.asarray(rng.random((2, 16, 16, 8)).astype(np.float32) * 3)
     s = jnp.asarray(rng.random((2, 16, 16, 8)).astype(np.float32) + 1)
