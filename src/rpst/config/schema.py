@@ -111,6 +111,10 @@ DEFAULTS: Dict[str, Any] = {
     "wct_dtype": "float32",  # reference uses float64 on GPU; TPU default f32
     "max_seg_labels": 64,  # static label universe for masked AdaIN
     "remat": False,  # rematerialize forward on backward (activation memory)
+    # 'standard' | 'folded': folded = space-to-depth execution of the RP
+    # conv stacks (exact, ~4x less HBM traffic at hidden_dim<=32; only for
+    # plain multi_adain constant stacks — see rpst.models.fast_path)
+    "exec_strategy": "standard",
 }
 
 

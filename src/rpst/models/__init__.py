@@ -55,6 +55,22 @@ class ModelBundle:
     cfg: Config
 
     # ------------------------------------------------------------------
+    def folded_exec(self) -> bool:
+        """True when cfg asks for (and the model supports) folded
+        space-to-depth execution: plain multi_adain constant stacks —
+        exact same params/outputs, ~4x less HBM traffic (fast_path.py)."""
+        c = self.cfg
+        return (c.get("exec_strategy", "standard") == "folded"
+                and self.network == "multi_adain"
+                and c.enc_stack_way != "deeper"
+                and c.inception_num == 0 and c.attention == "none"
+                and not c.shuffle and not c.sort and not c.use_mask)
+
+    def _folded_dtype(self):
+        return (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
+                else jnp.float32)
+
+    # ------------------------------------------------------------------
     def init(self, rng, content, style, vgg_vars):
         if self.network in _FEAT_MODELS:
             feats = self.vgg.apply(vgg_vars, content)
@@ -91,6 +107,18 @@ class ModelBundle:
                               train=train, method=model.loss,
                               mutable=mutable)
             parts, muts = out if mutable else (out, {})
+        elif self.folded_exec():
+            # folded-domain forward (exact; differentiable XLA ring impl —
+            # the fused Pallas kernel is inference-only, no VJP)
+            from .fast_path import stylize_multi_adain_folded
+            stylized = stylize_multi_adain_folded(
+                variables["params"], content, style,
+                dtype=self._folded_dtype(), use_pallas=False)
+            muts = {}
+            parts, _ = perceptual_rp_losses(
+                vgg_features, stylized, style, content,
+                self.cfg.content_weight, self.cfg.style_weight)
+            parts = {k: v for k, v in parts.items() if k != "total_loss"}
         else:
             out = model.apply(variables, content, style, train=train,
                               mutable=mutable)
@@ -119,6 +147,11 @@ class ModelBundle:
                 c_labels=None, s_labels=None):
         """Inference path — the reference's ``network.test``."""
         model = self.model
+        if self.folded_exec() and c_labels is None:
+            from .fast_path import stylize_multi_adain_folded
+            return stylize_multi_adain_folded(
+                variables["params"], content, style,
+                dtype=self._folded_dtype())
         if self.network in _FEAT_MODELS:
             cf = self.vgg.apply(vgg_vars, content)
             sf = self.vgg.apply(vgg_vars, style)

@@ -1,0 +1,167 @@
+"""Fused Pallas kernel: reflect-ring pad + 3x3 folded conv + bias + lrelu.
+
+The XLA folded path (``rpst.ops.folded``) materializes a ring-padded copy
+of every activation (~70 MB of HBM traffic per layer at 512px/b1-folded);
+the attempted SAME-conv + border-fix variant was worse because XLA copies
+the whole tensor per border update.  This kernel reads x once and writes
+y once:
+
+  * x stays in HBM; row slabs (block + 1-row halo) are DMA'd into VMEM
+    with **cross-grid-step double buffering** — while block t is being
+    convolved, block t+1's slab is already in flight (a synchronous
+    start/wait per step measured 4x slower at batch 8: the MXU idled on
+    DMA latency every step),
+  * the reflect rings are built **in the value domain** with full-width
+    lane selects — folding turns reflection into channel-block selects,
+    so no partial-lane stores are needed (a ``pl.when``-guarded masked
+    store into scratch mis-lowered on hardware),
+  * the 3x3 conv runs as 9 MXU matmuls (BR·W, 4C)·(4C, 4Co) accumulated
+    in f32 over three column-shifted slabs, bias + LeakyReLU fused into
+    the epilogue.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
+                 C4: int):
+    C = C4 // 4
+    half = C4 // 2
+    BR = block_rows
+    total = N * num_blocks
+
+    def kernel(x_hbm, k_ref, b_ref, o_ref, scratch, sem):
+        n = pl.program_id(0)
+        i = pl.program_id(1)
+        t = n * num_blocks + i
+
+        # ---- double-buffered slab DMA: scratch row s of slot holds folded
+        # row r0 - 1 + s; the same pl.when structure issues the start and
+        # the (size-matched) wait. ----
+        def slab_dma(slot, n2, i2, action):
+            r0 = i2 * BR
+
+            def cp(src_row, dst_row, rows):
+                c = pltpu.make_async_copy(
+                    x_hbm.at[n2, pl.ds(src_row, rows)],
+                    scratch.at[slot, pl.ds(dst_row, rows)],
+                    sem.at[slot])
+                c.start() if action == "start" else c.wait()
+
+            if num_blocks == 1:
+                cp(0, 1, BR)
+                return
+
+            @pl.when(i2 == 0)
+            def _():
+                cp(0, 1, BR + 1)
+
+            @pl.when(i2 == num_blocks - 1)
+            def _():
+                cp(r0 - 1, 0, BR + 1)
+
+            @pl.when(jnp.logical_and(i2 > 0, i2 < num_blocks - 1))
+            def _():
+                cp(r0 - 1, 0, BR + 2)
+
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t == 0)
+        def _():  # warm-up: first slab fetched synchronously
+            slab_dma(0, 0, 0, "start")
+
+        n_next = n + (i + 1) // num_blocks
+        i_next = jax.lax.rem(i + 1, num_blocks)
+
+        @pl.when(t + 1 < total)
+        def _():  # prefetch next block's slab into the other slot
+            slab_dma(jax.lax.rem(t + 1, 2), n_next, i_next, "start")
+
+        slab_dma(slot, n, i, "wait")
+
+        # ---- reflect ring rows, built in the value domain ----
+        slab = scratch[slot]  # (BR+2, W, C4)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (W, C4), 1)
+        subrow0 = lane < half  # sub-row-0 channel blocks
+        # top ring: folded row -1 = [row 1's sub-row-0 | row 0's sub-row-1]
+        top_ring = jnp.where(subrow0, slab[2], slab[1])
+        # bottom ring: folded row H = [row H-1 sub-row-0 | row H-2 sub-row-1]
+        bot_ring = jnp.where(subrow0, slab[BR], slab[BR - 1])
+        row_top = jnp.where(i == 0, top_ring, slab[0])
+        row_bot = jnp.where(i == num_blocks - 1, bot_ring, slab[BR + 1])
+        slab = jnp.concatenate([row_top[None], slab[1:BR + 1],
+                                row_bot[None]], axis=0)
+
+        # ---- column-shifted slabs with reflect ring columns ----
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1, C4), 2)
+        subcol0 = ((lane1 // C) % 2) == 0  # sub-col-0 channel blocks
+        # left ring (folded col -1): sub-col-0 from col 1, sub-col-1 from 0
+        left_ring = jnp.where(subcol0, slab[:, 1:2], slab[:, 0:1])
+        x_m1 = jnp.concatenate([left_ring, slab[:, :W - 1]], axis=1)
+        # right ring (folded col W): sub-col-0 from col W-1, sub-col-1 W-2
+        right_ring = jnp.where(subcol0, slab[:, W - 1:W], slab[:, W - 2:W - 1])
+        x_p1 = jnp.concatenate([slab[:, 1:], right_ring], axis=1)
+
+        # ---- 9-tap conv as MXU matmuls, f32 accumulation ----
+        c4o = k_ref.shape[-1]
+        acc = jnp.zeros((BR * W, c4o), jnp.float32)
+        for dc, sl in ((0, x_m1), (1, slab), (2, x_p1)):
+            for dr in range(3):
+                window = sl[dr:dr + BR]  # static row slice (untiled dim)
+                acc += jax.lax.dot_general(
+                    window.reshape(BR * W, C4), k_ref[dr, dc],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+        y = acc + b_ref[0].astype(jnp.float32)
+        y = jnp.where(y >= 0, y, 0.2 * y)
+        o_ref[0] = y.reshape(BR, W, c4o).astype(o_ref.dtype)
+
+    return kernel
+
+
+def fused_folded_conv(x_f: jnp.ndarray, folded_kernel: jnp.ndarray,
+                      folded_bias: jnp.ndarray, block_rows: int = 16,
+                      interpret: bool = False) -> jnp.ndarray:
+    """lrelu(folded_reflect_conv(x_f) + bias) for NHWC folded tensors.
+
+    x_f: (N, H, W, 4C); folded_kernel: (3, 3, 4C, 4Co) (see
+    ``ops.folded.fold_conv_kernel``); folded_bias: (4Co,). block_rows is
+    shrunk to a divisor of H automatically."""
+    n, h, w, c4 = x_f.shape
+    c4o = folded_kernel.shape[-1]
+    while h % block_rows:
+        block_rows //= 2
+    block_rows = max(block_rows, 1)
+    num_blocks = h // block_rows
+
+    kernel = _make_kernel(block_rows, num_blocks, n, h, w, c4)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, num_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((3, 3, c4, c4o), lambda n_, i_: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c4o), lambda n_, i_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, w, c4o),
+                               lambda n_, i_: (n_, i_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c4o), x_f.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_rows + 2, w, c4), x_f.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(x_f, folded_kernel, folded_bias.reshape(1, -1))

@@ -83,3 +83,70 @@ def test_folded_flagship_matches_standard_path(rng):
     np.testing.assert_allclose(folded, standard, rtol=1e-4, atol=1e-4)
     mae = np.abs(folded - standard).mean()
     assert mae < 1e-5, mae
+
+
+def test_fused_pallas_folded_conv_interpret(rng):
+    """Fused Pallas reflect-pad+conv+lrelu kernel (interpret mode) ==
+    XLA ring path, for lane-filling channel widths (C4 = 128)."""
+    from rpst.ops.pallas.folded_conv import fused_folded_conv
+
+    for (h, w, c), bs in (((16, 16, 32), 1), ((32, 16, 32), 2)):
+        x = jnp.asarray(rng.normal(size=(bs, h, w, 4 * c)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.2)
+        b = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+        kf, bf = fold_conv_kernel(k), fold_bias(b)
+        ref = folded_conv(x, kf, bf)
+        ref = jnp.where(ref >= 0, ref, 0.2 * ref)
+        got = fused_folded_conv(x, kf, bf, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_folded_exec_strategy_loss_and_grads_match(rng):
+    """exec_strategy='folded' training: loss and gradients match the
+    standard execution with the same params (f32)."""
+    from rpst.nn.vgg import init_vgg_params
+
+    common = dict(network="multi_adain", enc_stack_way="constant",
+                  rp_blocks=3, hidden_dim=8, img_size=16)
+    b_std = build_model(load_config(dict(common)))
+    b_fold = build_model(load_config(dict(common, exec_strategy="folded")))
+    assert not b_std.folded_exec() and b_fold.folded_exec()
+
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = b_std.init(key, content, style, vgg_vars)
+
+    def loss(bundle):
+        def f(params):
+            total, _ = bundle.loss({"params": params}, vgg_vars,
+                                   content, style, train=True)
+            return total
+        return jax.value_and_grad(f)(variables["params"])
+
+    (l_std, g_std), (l_fold, g_fold) = loss(b_std), loss(b_fold)
+    np.testing.assert_allclose(float(l_fold), float(l_std), rtol=1e-4)
+    flat_std = jax.tree_util.tree_leaves(g_std)
+    flat_fold = jax.tree_util.tree_leaves(g_fold)
+    for a, b in zip(flat_fold, flat_std):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_folded_exec_strategy_stylize_matches(rng):
+    from rpst.nn.vgg import init_vgg_params
+
+    common = dict(network="multi_adain", enc_stack_way="constant",
+                  rp_blocks=3, hidden_dim=8, img_size=16)
+    b_std = build_model(load_config(dict(common)))
+    b_fold = build_model(load_config(dict(common, exec_strategy="folded")))
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = b_std.init(key, content, style, vgg_vars)
+    a = np.asarray(b_std.stylize(variables, vgg_vars, content, style))
+    b = np.asarray(b_fold.stylize(variables, vgg_vars, content, style))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
