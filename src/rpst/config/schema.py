@@ -115,6 +115,9 @@ DEFAULTS: Dict[str, Any] = {
     # conv stacks (exact, ~4x less HBM traffic at hidden_dim<=32; only for
     # plain multi_adain constant stacks — see rpst.models.fast_path)
     "exec_strategy": "standard",
+    # 0 = dense (HW, HW) MRF affinity; >0 = streamed row chunks of that
+    # size (O(chunk*HW) memory — for >512px inputs)
+    "mrf_chunk": 0,
 }
 
 

@@ -217,7 +217,7 @@ def build_model(cfg: Config) -> ModelBundle:
                       **common)
     elif n == "mrf":
         model = MRFRP(rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
-                      k=cfg.k, **common)
+                      k=cfg.k, mrf_chunk=cfg.mrf_chunk, **common)
     elif n == "spade":
         model = SpadeRP(rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
                         ndf=cfg.ndf, spade_norm=cfg.spade_norm, **common)

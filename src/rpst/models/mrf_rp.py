@@ -22,18 +22,28 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn.blocks import RPSequence, rp_decrease_dims, rp_increase_dims
-from ..ops.affinity import cal_affinity_map, cal_dist
+from ..ops.affinity import (cal_affinity_map, cal_dist,
+                            mrf_topk_masked_dist_sum)
 from .base import mse, style_stat_loss
 
 
-def mrf_loss(content_feat, style_feat, k: int = 5) -> jnp.ndarray:
-    """Per-sample MRF loss (mrf_rp.py:12-23), NHWC (N, H, W, C)."""
+def mrf_loss(content_feat, style_feat, k: int = 5,
+             chunk: int = 0) -> jnp.ndarray:
+    """Per-sample MRF loss (mrf_rp.py:12-23), NHWC (N, H, W, C).
+
+    ``chunk > 0`` streams the (HW, HW) affinity/distance matrices in row
+    chunks (O(chunk·HW) memory) instead of materializing them — required
+    headroom above 512px where HW² no longer fits comfortably."""
 
     def per_sample(cf, sf):
         h, w, c = cf.shape
-        aff = cal_affinity_map(cf, sf, k)  # (HW, HW)
-        dist = cal_dist(cf.reshape(-1, c).T, sf.reshape(-1, c).T)
-        return jnp.sum(aff * dist) / (h * w * k)
+        if chunk:
+            total = mrf_topk_masked_dist_sum(cf, sf, k, chunk)
+        else:
+            aff = cal_affinity_map(cf, sf, k)  # (HW, HW)
+            dist = cal_dist(cf.reshape(-1, c).T, sf.reshape(-1, c).T)
+            total = jnp.sum(aff * dist)
+        return total / (h * w * k)
 
     return jnp.mean(jax.vmap(per_sample)(content_feat, style_feat))
 
@@ -42,6 +52,7 @@ class MRFRP(nn.Module):
     rp_blocks: int = 5
     hidden_dim: int = 16
     k: int = 5
+    mrf_chunk: int = 0  # 0 = dense (HW, HW); >0 = streamed row chunks
     dtype: Any = None
 
     def setup(self):
@@ -70,7 +81,8 @@ class MRFRP(nn.Module):
 
         f_stylized = vgg_features(stylized)
         f_style = jax.lax.stop_gradient(vgg_features(style))
-        loss_mrf = mrf_loss(f_stylized[-1], f_style[-1], self.k)
+        loss_mrf = mrf_loss(f_stylized[-1], f_style[-1], self.k,
+                            chunk=self.mrf_chunk)
 
         content_prime = self.content_encoder(stylized, train=train)
         style_prime = self.style_encoder(stylized, train=train)

@@ -68,3 +68,33 @@ def test_cal_affinity_matrix_cosine(rng):
     nsf = F.normalize(ts.reshape(b, ch, -1), dim=1)
     expected = torch.bmm(ncf.permute(0, 2, 1), nsf).numpy()
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_mrf_chunked_matches_dense(rng):
+    """Streamed top-k masked distance sum == dense affinity*dist sum,
+    including non-divisible chunk sizes (padding path)."""
+    import jax.numpy as jnp
+    from rpst.ops.affinity import (cal_affinity_map, cal_dist,
+                                   mrf_topk_masked_dist_sum)
+
+    h, w, c = 6, 7, 5
+    cf = jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
+    sf = jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
+    for k in (1, 3):
+        dense = float(jnp.sum(
+            cal_affinity_map(cf, sf, k)
+            * cal_dist(cf.reshape(-1, c).T, sf.reshape(-1, c).T)))
+        for chunk in (8, 16, h * w, 1024):
+            got = float(mrf_topk_masked_dist_sum(cf, sf, k, chunk))
+            np.testing.assert_allclose(got, dense, rtol=1e-4), (k, chunk)
+
+
+def test_mrf_loss_chunked_matches_dense_batched(rng):
+    import jax.numpy as jnp
+    from rpst.models.mrf_rp import mrf_loss
+
+    cf = jnp.asarray(rng.normal(size=(2, 6, 6, 4)).astype(np.float32))
+    sf = jnp.asarray(rng.normal(size=(2, 6, 6, 4)).astype(np.float32))
+    dense = float(mrf_loss(cf, sf, k=3))
+    got = float(mrf_loss(cf, sf, k=3, chunk=16))
+    np.testing.assert_allclose(got, dense, rtol=1e-4)
