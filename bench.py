@@ -43,14 +43,16 @@ def build(dtype_name: str):
 
 
 def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3,
-                  folded: bool = False):
+                  mode: str = "standard"):
     """Time ``iters`` chained stylize passes inside ONE jitted program and
     fetch a scalar — robust against async dispatch and remote-tunnel
     runtimes where per-call block_until_ready doesn't measure compute.
 
-    ``folded=True`` uses the space-to-depth execution strategy
+    ``mode='folded'`` uses the space-to-depth execution strategy
     (``rpst.models.fast_path``) — exact same model/params, ~4x less HBM
-    traffic at hidden_dim=32 (see BASELINE.md)."""
+    traffic at hidden_dim=32 (see BASELINE.md). ``mode='q8'`` adds int8
+    PTQ serving (2x MXU rate on v5e; ~59 dB PSNR vs bf16, still within
+    the <1e-2 mean-abs-pixel parity target)."""
     rng = jax.random.PRNGKey(0)
     content = jnp.asarray(
         np.random.default_rng(0).random((batch, IMG, IMG, 3), np.float32))
@@ -60,7 +62,15 @@ def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3,
 
     from functools import partial
 
-    if folded:
+    if mode == "q8":
+        from rpst.models.fast_path_q8 import (calibrate_multi_adain_q8,
+                                              stylize_multi_adain_folded_q8)
+        scales = calibrate_multi_adain_q8(variables["params"], content, style)
+
+        def apply(variables, c, s):
+            return stylize_multi_adain_folded_q8(variables["params"], scales,
+                                                 c, s)
+    elif mode == "folded":
         from rpst.models.fast_path import stylize_multi_adain_folded
 
         def apply(variables, c, s):
@@ -92,17 +102,77 @@ def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3,
     return batch / per_pass, per_pass
 
 
+def bench_family(network: str, batches=(1, 4), img=IMG, **cfg_over):
+    """Secondary per-family throughput (stderr only): wct / sanet /
+    dynamic_sanet / adain at 512px, bf16."""
+    from rpst.config import load_config
+    from rpst.models import build_model
+    from rpst.nn.vgg import init_vgg_params
+    from functools import partial
+
+    cfg = load_config(dict(network=network, img_size=img,
+                           compute_dtype="bfloat16", **cfg_over))
+    bundle = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    for batch in batches:
+        content = jnp.asarray(np.random.default_rng(0).random(
+            (batch, img, img, 3), np.float32))
+        style = jnp.asarray(np.random.default_rng(1).random(
+            (batch, img, img, 3), np.float32))
+        _, vgg_vars = init_vgg_params(rng, num_stages=bundle.vgg_stages)
+        variables = bundle.init(rng, content, style, vgg_vars)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def run_n(variables, vgg_vars, content, style, n):
+            def body(i, carry):
+                c, acc = carry
+                c = c.at[0, 0, 0, 0].add(1e-12 * i)
+                out = bundle.stylize(variables, vgg_vars, c, style)
+                return (c, acc + jnp.mean(out))
+
+            _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
+            return acc
+
+        iters = 10
+        try:
+            float(run_n(variables, vgg_vars, content, style, iters))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run_n(variables, vgg_vars, content, style, iters))
+                best = min(best, time.perf_counter() - t0)
+            per = best / iters
+            log(f"[all] {network} {img}px batch={batch}: "
+                f"{batch/per:.2f} img/s ({per*1e3:.1f} ms/pass)")
+        except Exception as e:
+            log(f"[all] {network} {img}px batch={batch}: "
+                f"{type(e).__name__}: {str(e)[:120]}")
+
+
 def main():
+    if "--all" in sys.argv:
+        # secondary sweep: other model families + high-res scaling
+        bench_family("wct", rp_blocks=5, hidden_dim=16,
+                     enc_stack_way="deeper")
+        bench_family("sanet")
+        bench_family("dynamic_sanet")
+        bench_family("adain", rp_blocks=5, hidden_dim=32)
+        bench_family("multi_adain", batches=(1, 4), img=1024,
+                     enc_stack_way="constant", rp_blocks=5, hidden_dim=32,
+                     inception_num=0, attention="none",
+                     exec_strategy="folded")
+        return
     log(f"devices: {jax.devices()}")
     results = {}
-    variants = (("bfloat16-folded", "bfloat16", True),
-                ("bfloat16", "bfloat16", False))
-    for name, dtype, folded in variants:
+    variants = (("int8-folded", "bfloat16", "q8"),
+                ("bfloat16-folded", "bfloat16", "folded"),
+                ("bfloat16", "bfloat16", "standard"))
+    for name, dtype, mode in variants:
         bundle = build(dtype)
         best_ips, best_batch, p50_b1 = 0.0, 0, None
         for batch in (1, 8):
             try:
-                ips, med = bench_stylize(bundle, batch, folded=folded)
+                ips, med = bench_stylize(bundle, batch, mode=mode)
             except Exception as e:  # OOM etc.
                 log(f"{name} batch={batch}: {type(e).__name__}: {e}")
                 break

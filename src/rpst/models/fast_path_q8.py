@@ -1,0 +1,202 @@
+"""Int8 quantized folded serving path for the flagship model.
+
+Post-training quantization (PTQ) of ``stylize_multi_adain_folded``:
+weights int8 per output channel, activations int8 per tensor with static
+scales from a calibration pass.  The 13 lane-filling convs run through the
+int8 fused Pallas kernel (2x MXU rate on v5e, half the inter-layer HBM
+bytes); AdaIN statistics, the boundary convs (3<->hidden channels), and
+the residual fusions stay in bf16/f32 — statistics matching is the style
+signal and must not be quantized.
+
+Usage:
+    scales = calibrate_multi_adain_q8(params, content_batch, style_batch)
+    img = stylize_multi_adain_folded_q8(params, scales, content, style)
+
+Quality: symmetric 8-bit conv I/O; tests gate PSNR vs the bf16 folded
+path (>30 dB on random inputs).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.folded import (fold, fold_bias, fold_conv_kernel, folded_adain,
+                          folded_conv, unfold)
+from ..ops.pallas.folded_conv_q8 import (fused_folded_conv_q8,
+                                         quantize_activations,
+                                         quantize_weights)
+from .fast_path import _folded_blocks, _lrelu
+
+
+def _q8_eligible(k) -> bool:
+    return k.shape[2] % 128 == 0 and k.shape[3] % 128 == 0
+
+
+def _forward_collect(params, content, style, dtype=jnp.bfloat16):
+    """bf16 folded forward that also records the calibration observables,
+    in exactly the order ``stylize_multi_adain_folded_q8`` consumes them:
+    per encode — each encoder layer's output absmax (the chained int8
+    out/in scales); then the absmax of every quantized decoder input."""
+    enc = _folded_blocks(params["rp_shared_encoder"])
+    dec = _folded_blocks(params["rp_decoder"])
+    absmax: List[jnp.ndarray] = []
+
+    def conv(x, k, b):
+        y = folded_conv(x, k.astype(dtype), b.astype(dtype))
+        return _lrelu(y)
+
+    def encode(img):
+        x = fold(img.astype(dtype))
+        feats = []
+        for li, (k, b) in enumerate(enc):
+            x = conv(x, k, b)
+            nxt_eligible = (li + 1 < len(enc)
+                            and _q8_eligible(enc[li + 1][0]))
+            if nxt_eligible or (li == len(enc) - 1 and _q8_eligible(k)):
+                absmax.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+            feats.append(x)
+        return feats
+
+    c_feats = encode(content)
+    s_feats = encode(style)
+    stylized = folded_adain(c_feats[-1], s_feats[-1])
+    k, b = dec[0]
+    if _q8_eligible(k):
+        absmax.append(jnp.max(jnp.abs(stylized.astype(jnp.float32))))
+    stylized = conv(stylized, k, b)
+    pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+    for i, (cf, sf) in enumerate(pairs):
+        fusion = folded_adain(cf, sf)
+        k, b = dec[i + 1]
+        x_in = stylized + fusion
+        if _q8_eligible(k):
+            absmax.append(jnp.max(jnp.abs(x_in.astype(jnp.float32))))
+        stylized = conv(x_in, k, b)
+    return unfold(stylized).astype(content.dtype), absmax
+
+
+def calibrate_multi_adain_q8(params, content, style) -> Dict[str, np.ndarray]:
+    """One calibration pass -> per-eligible-layer input scales (f32).
+
+    Returns {'act_scales': (L,) array}. Feed representative 512px batches;
+    scales are per-tensor symmetric (absmax / 127)."""
+    absmax = jax.jit(
+        lambda p, c, s: _forward_collect(p, c, s)[1])(params, content, style)
+    scales = np.asarray([max(float(a), 1e-6) / 127.0 for a in absmax],
+                        np.float32)
+    return {"act_scales": scales}
+
+
+def _folded_stats_q8(q, scale, eps: float = 1e-5):
+    """folded_calc_mean_std on an int8 tensor with a per-tensor scale:
+    mean/std are linear in the scale, so stats reduce over int8 directly
+    (half the read bytes) and rescale once."""
+    n, hh, ww, c4 = q.shape
+    c = c4 // 4
+    m = hh * ww * 4
+    v = q.astype(jnp.float32).reshape(n, hh * ww, 4, c)
+    s1 = jnp.sum(v, axis=(1, 2))
+    s2 = jnp.sum(v * v, axis=(1, 2))
+    mean = s1 / float(m) * scale
+    var = (s2 / float(max(m - 1, 1))
+           - s1 * s1 / (float(m) * float(max(m - 1, 1)))) * scale * scale
+    std = jnp.sqrt(jnp.maximum(var, 0.0) + eps)
+    mean4 = jnp.tile(mean, (1, 4))[:, None, None, :]
+    std4 = jnp.tile(std, (1, 4))[:, None, None, :]
+    return mean4, std4
+
+
+def _adain_affine_q8(c_feat, s_feat):
+    """AdaIN between (int8, scale) feature pairs -> float fusion tensor.
+    The dequantize + affine chain is elementwise, so XLA fuses it into the
+    consumer (the add + requantize before the next conv) — no extra HBM
+    pass."""
+    (cq, cs), (sq, ss) = c_feat, s_feat
+    cm, cstd = _folded_stats_q8(cq, cs)
+    sm, sstd = _folded_stats_q8(sq, ss)
+    return (cq.astype(jnp.float32) * cs - cm) / cstd * sstd + sm
+
+
+def stylize_multi_adain_folded_q8(params, scales, content, style,
+                                  dtype=jnp.bfloat16,
+                                  block_rows: int = 16,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """Quantized folded stylize; same params as the standard model plus
+    calibration ``scales`` from :func:`calibrate_multi_adain_q8`.
+
+    Encoder layers chain int8 -> int8 (requantization fused into the conv
+    kernel epilogue; AdaIN statistics reduce over the int8 features and
+    rescale). Decoder fusions are float elementwise chains whose
+    requantization XLA fuses — no standalone quantize pass anywhere."""
+    enc = _folded_blocks(params["rp_shared_encoder"])
+    dec = _folded_blocks(params["rp_decoder"])
+    act_scales = np.asarray(scales["act_scales"], np.float32)
+    it = iter(range(len(act_scales)))
+
+    def conv_q(x_q, x_scale, k, b, out_scale=None):
+        """Eligible conv on pre-quantized input; int8 out when out_scale."""
+        w_q, w_scale = quantize_weights(k.astype(jnp.float32))
+        srow0 = x_scale * w_scale
+        srow1 = b.astype(jnp.float32)
+        if out_scale is None:
+            sc = jnp.stack([srow0, srow1, jnp.zeros_like(srow0)])
+            return fused_folded_conv_q8(x_q, w_q, sc, out_int8=False,
+                                        block_rows=block_rows,
+                                        interpret=interpret).astype(dtype)
+        srow2 = jnp.broadcast_to(jnp.float32(1.0 / out_scale), srow0.shape)
+        sc = jnp.stack([srow0, srow1, srow2])
+        return fused_folded_conv_q8(x_q, w_q, sc, out_int8=True,
+                                    block_rows=block_rows,
+                                    interpret=interpret)
+
+    def encode(img):
+        """Chained int8 encoder: feats are (int8, scale) pairs."""
+        x = fold(img.astype(dtype))
+        feats = []
+        for li, (k, b) in enumerate(enc):
+            if not _q8_eligible(k):
+                x = _lrelu(folded_conv(x, k.astype(dtype), b.astype(dtype)))
+                nxt = enc[li + 1][0] if li + 1 < len(enc) else None
+                if nxt is not None and _q8_eligible(nxt):
+                    s = float(act_scales[next(it)])
+                    x = (quantize_activations(x, s), s)
+                else:
+                    x = (x, None)
+            else:
+                x_q, x_scale = x
+                nxt = enc[li + 1][0] if li + 1 < len(enc) else None
+                if nxt is not None and _q8_eligible(nxt):
+                    out_s = float(act_scales[next(it)])
+                    x = (conv_q(x_q, x_scale, k, b, out_scale=out_s), out_s)
+                else:
+                    # last encoder layer: int8 out with its own absmax-based
+                    # scale (reuse the input scale as a safe bound is wrong;
+                    # calibration stores one extra trailing scale per image)
+                    out_s = float(act_scales[next(it)])
+                    x = (conv_q(x_q, x_scale, k, b, out_scale=out_s), out_s)
+            feats.append(x)
+        return feats
+
+    c_feats = encode(content)
+    s_feats = encode(style)
+
+    stylized = _adain_affine_q8(c_feats[-1], s_feats[-1]).astype(dtype)
+    k, b = dec[0]
+    s_in = float(act_scales[next(it)])
+    stylized = conv_q(quantize_activations(stylized, s_in), s_in, k, b)
+    pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+    for i, (cf, sf) in enumerate(pairs):
+        fusion = _adain_affine_q8(cf, sf).astype(dtype)
+        k, b = dec[i + 1]
+        if _q8_eligible(k):
+            s_in = float(act_scales[next(it)])
+            x = stylized.astype(jnp.float32) + fusion.astype(jnp.float32)
+            stylized = conv_q(quantize_activations(x, s_in), s_in, k, b)
+        else:
+            stylized = _lrelu(folded_conv(
+                stylized + fusion, k.astype(dtype), b.astype(dtype)))
+    return unfold(stylized).astype(content.dtype)

@@ -33,61 +33,92 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                n_kb: int):
+    """Grid = (q_blocks, k_blocks), K fastest-varying. K/V stream through
+    pallas's own double-buffered block pipeline; running max/denominator/
+    accumulator persist in VMEM scratch across the K sweep — only
+    O(block·C) lives on-chip, never (HW, HW)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     q = q_ref[:]  # (BQ, C)
-    n_k = k_ref.shape[0]
-    bq = q.shape[0]
-    c = v_ref.shape[1]
+    k = k_ref[:]  # (BK, C)
+    v = v_ref[:]  # (BK, C)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (BQ, BK)
+    m = m_scr[:]
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m - m_new)
+    l_new = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_new = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+    acc_scr[:] = acc_new
 
-    def body(j, carry):
-        m, l, acc = carry
-        k = k_ref[pl.ds(j * block_k, block_k), :]
-        v = v_ref[pl.ds(j * block_k, block_k), :]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (BQ, BK)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
-
-    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, c), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, n_k // block_k, body, (m0, l0, acc0))
-    o_ref[:] = (acc / l).astype(o_ref.dtype)
+    @pl.when(j == n_kb - 1)
+    def _():
+        o_ref[:] = (acc_new / l_new).astype(o_ref.dtype)
 
 
 def _flash_fwd_2d(q, k, v, block_q: int, block_k: int, interpret: bool):
     n_q, c = q.shape
-    grid = (n_q // block_q,)
+    n_k = k.shape[0]
+    n_kb = n_k // block_k
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, block_k=block_k),
-        grid=grid,
+        functools.partial(_fwd_kernel, n_kb=n_kb),
+        grid=(n_q // block_q, n_kb),
         in_specs=[
-            pl.BlockSpec((block_q, c), lambda i: (i, 0),
+            pl.BlockSpec((block_q, c), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k.shape[0], c), lambda i: (0, 0),
+            pl.BlockSpec((block_k, c), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((v.shape[0], c), lambda i: (0, 0),
+            pl.BlockSpec((block_k, c), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_q, c), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_q, c), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_q, c), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(q, k, v)
 
 
-def _pick_blocks(n_q: int, n_k: int):
+def _pick_blocks(n_q: int, n_k: int, c: int, itemsize: int):
+    """Largest power-of-two blocks that keep the working set well under
+    the ~16 MB/core VMEM: q/o/acc rows scale with BQ, double-buffered k/v
+    with BK, plus the (BQ, BK) f32 score tile."""
+    budget = 10 * 1024 * 1024
+
+    def fits(bq, bk):
+        qo = bq * c * (2 * itemsize + 4)          # q + o + f32 acc scratch
+        kv = 2 * 2 * bk * c * itemsize            # k, v double-buffered
+        s = 4 * bq * bk * 2                       # s + p tiles (f32)
+        return qo + kv + s <= budget
+
     bq = min(512, n_q)
     while n_q % bq:
         bq //= 2
     bk = min(512, n_k)
     while n_k % bk:
+        bk //= 2
+    while bq > 8 and not fits(bq, bk):
+        bq //= 2
+    while bk > 8 and not fits(bq, bk):
         bk //= 2
     return max(bq, 8), max(bk, 8)
 
@@ -113,7 +144,7 @@ def _flash_fwd_impl(q, k, v, interpret):
     n_k = k.shape[-2]
     if n_q < 16 or n_k < 16 or (n_k % 8) or (n_q % 8):
         return _dense_attention(q, k, v)
-    bq, bk = _pick_blocks(n_q, n_k)
+    bq, bk = _pick_blocks(n_q, n_k, c, q.dtype.itemsize)
     fn = functools.partial(_flash_fwd_2d, block_q=bq, block_k=bk,
                            interpret=interpret)
     for _ in batch:

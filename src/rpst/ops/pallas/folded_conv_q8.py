@@ -1,0 +1,173 @@
+"""Int8 variant of the fused folded conv kernel (quantized serving path).
+
+v5e's MXU runs int8 at 2x the bf16 rate (394 vs 197 TOPS) and the folded
+flagship is MXU-compute-bound at batch >= 4 (BASELINE.md), so symmetric
+per-tensor-activation x per-channel-weight int8 halves the dominant cost;
+int8 activations also halve inter-layer HBM traffic.  Same structure as
+``folded_conv.py`` (double-buffered slab DMA, value-domain reflect rings,
+9 MXU matmuls) with an int32 accumulator and a fused
+dequantize->bias->lrelu->requantize epilogue.
+
+Scales are static (post-training calibration over sample batches — see
+``rpst.models.fast_path_q8.calibrate_multi_adain_q8``), the standard PTQ
+serving recipe.  Weights are quantized per output channel; activations
+per tensor.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_weights(w: jnp.ndarray):
+    """(..., Cout) float -> (int8 weights, (Cout,) f32 scales)."""
+    absmax = jnp.max(jnp.abs(w.reshape(-1, w.shape[-1])), axis=0)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def quantize_activations(x: jnp.ndarray, scale):
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8)
+
+
+def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
+                 C4: int, out_int8: bool):
+    C = C4 // 4
+    half = C4 // 2
+    BR = block_rows
+    total = N * num_blocks
+
+    def kernel(x_hbm, k_ref, scale_ref, o_ref, scratch, sem):
+        n = pl.program_id(0)
+        i = pl.program_id(1)
+        t = n * num_blocks + i
+
+        def slab_dma(slot, n2, i2, action):
+            r0 = i2 * BR
+
+            def cp(src_row, dst_row, rows):
+                c = pltpu.make_async_copy(
+                    x_hbm.at[n2, pl.ds(src_row, rows)],
+                    scratch.at[slot, pl.ds(dst_row, rows)],
+                    sem.at[slot])
+                c.start() if action == "start" else c.wait()
+
+            if num_blocks == 1:
+                cp(0, 1, BR)
+                return
+
+            @pl.when(i2 == 0)
+            def _():
+                cp(0, 1, BR + 1)
+
+            @pl.when(i2 == num_blocks - 1)
+            def _():
+                cp(r0 - 1, 0, BR + 1)
+
+            @pl.when(jnp.logical_and(i2 > 0, i2 < num_blocks - 1))
+            def _():
+                cp(r0 - 1, 0, BR + 2)
+
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t == 0)
+        def _():
+            slab_dma(0, 0, 0, "start")
+
+        n_next = n + (i + 1) // num_blocks
+        i_next = jax.lax.rem(i + 1, num_blocks)
+
+        @pl.when(t + 1 < total)
+        def _():
+            slab_dma(jax.lax.rem(t + 1, 2), n_next, i_next, "start")
+
+        slab_dma(slot, n, i, "wait")
+
+        slab = scratch[slot]  # (BR+2, W, C4) int8
+        lane = jax.lax.broadcasted_iota(jnp.int32, (W, C4), 1)
+        subrow0 = lane < half
+        top_ring = jnp.where(subrow0, slab[2], slab[1])
+        bot_ring = jnp.where(subrow0, slab[BR], slab[BR - 1])
+        row_top = jnp.where(i == 0, top_ring, slab[0])
+        row_bot = jnp.where(i == num_blocks - 1, bot_ring, slab[BR + 1])
+        slab = jnp.concatenate([row_top[None], slab[1:BR + 1],
+                                row_bot[None]], axis=0)
+
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1, C4), 2)
+        subcol0 = ((lane1 // C) % 2) == 0
+        left_ring = jnp.where(subcol0, slab[:, 1:2], slab[:, 0:1])
+        x_m1 = jnp.concatenate([left_ring, slab[:, :W - 1]], axis=1)
+        right_ring = jnp.where(subcol0, slab[:, W - 1:W], slab[:, W - 2:W - 1])
+        x_p1 = jnp.concatenate([slab[:, 1:], right_ring], axis=1)
+
+        c4o = k_ref.shape[-1]
+        acc = jnp.zeros((BR * W, c4o), jnp.int32)
+        for dc, sl in ((0, x_m1), (1, slab), (2, x_p1)):
+            for dr in range(3):
+                window = sl[dr:dr + BR]
+                acc += jax.lax.dot_general(
+                    window.reshape(BR * W, C4), k_ref[dr, dc],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+
+        # epilogue: dequant (x_scale * w_scale per lane) + bias + lrelu
+        deq = scale_ref[0]   # (c4o,) f32: x_scale * w_scale
+        bias = scale_ref[1]  # (c4o,) f32
+        y = acc.astype(jnp.float32) * deq + bias
+        y = jnp.where(y >= 0, y, 0.2 * y)
+        if out_int8:
+            inv_out = scale_ref[2]  # (c4o,) f32: broadcast 1/out_scale
+            q = jnp.clip(jnp.round(y * inv_out), -127, 127)
+            o_ref[0] = q.reshape(BR, W, c4o).astype(jnp.int8)
+        else:
+            o_ref[0] = y.reshape(BR, W, c4o).astype(o_ref.dtype)
+
+    return kernel
+
+
+def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
+                         scales: jnp.ndarray, out_int8: bool,
+                         block_rows: int = 16,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Quantized lrelu(folded_reflect_conv(x) + bias).
+
+    x_q: (N, H, W, 4C) int8; w_q: (3, 3, 4C, 4Co) int8;
+    scales: (3, 4Co) f32 rows = [x_scale*w_scale, bias, 1/out_scale]
+    (row 2 ignored when ``out_int8=False``). Returns int8 (requantized
+    with out_scale) or bf16."""
+    n, h, w, c4 = x_q.shape
+    c4o = w_q.shape[-1]
+    while h % block_rows:
+        block_rows //= 2
+    block_rows = max(block_rows, 1)
+    num_blocks = h // block_rows
+
+    kernel = _make_kernel(block_rows, num_blocks, n, h, w, c4, out_int8)
+    out_dtype = jnp.int8 if out_int8 else jnp.bfloat16
+    return pl.pallas_call(
+        kernel,
+        grid=(n, num_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, 3, c4, c4o), lambda n_, i_: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, c4o), lambda n_, i_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, w, c4o),
+                               lambda n_, i_: (n_, i_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c4o), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_rows + 2, w, c4), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(x_q, w_q, scales)

@@ -96,3 +96,37 @@ def test_wct_dp_step_runs():
     new_state, parts = step(state, vgg_vars, shard_batch(c, mesh),
                             shard_batch(s, mesh))
     assert np.isfinite(float(parts["total_loss"]))
+
+
+def test_folded_exec_dp_spatial_matches_single_device():
+    """exec_strategy='folded' under a data x spatial mesh: XLA partitions
+    the fold/unfold reshapes and folded convs (halo exchanges included)
+    with no change to the math."""
+    cfg = load_config(dict(BASE, exec_strategy="folded"))
+    bundle = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    c = jnp.asarray(np.random.default_rng(0).random((8, 16, 16, 3), np.float32))
+    s = jnp.asarray(np.random.default_rng(1).random((8, 16, 16, 3), np.float32))
+    _, vgg_vars = init_vgg_params(rng, num_stages=bundle.vgg_stages)
+    state, tx = create_train_state(bundle, rng, c, s, vgg_vars)
+    single_step = make_train_step(bundle, tx)
+    ref_state, ref_parts = single_step(state, vgg_vars, c, s)
+
+    cfg2 = load_config(dict(BASE, exec_strategy="folded"))
+    bundle2 = build_model(cfg2)
+    state2, tx2 = create_train_state(bundle2, rng, c, s, vgg_vars)
+    mesh = make_mesh({"data": 4, "spatial": 2})
+    state2 = replicate(state2, mesh)
+    vgg_vars2 = replicate(vgg_vars, mesh)
+    cd = shard_batch(c, mesh, spatial=True)
+    sd = shard_batch(s, mesh, spatial=True)
+    sp_step = make_sharded_train_step(bundle2, tx2, mesh, spatial=True)
+    sp_state, sp_parts = sp_step(state2, vgg_vars2, cd, sd)
+
+    np.testing.assert_allclose(float(ref_parts["total_loss"]),
+                               float(sp_parts["total_loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(sp_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

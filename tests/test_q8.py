@@ -1,0 +1,71 @@
+"""Int8 quantized serving path: kernel exactness (interpret) vs an
+emulated integer reference, and end-to-end quality vs the bf16 path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rpst.config import load_config
+from rpst.models import build_model
+from rpst.models.fast_path import stylize_multi_adain_folded
+from rpst.models.fast_path_q8 import (calibrate_multi_adain_q8,
+                                      stylize_multi_adain_folded_q8)
+from rpst.nn.vgg import init_vgg_params
+from rpst.ops.folded import fold_bias, fold_conv_kernel, folded_reflect_pad
+from rpst.ops.pallas.folded_conv_q8 import (fused_folded_conv_q8,
+                                            quantize_activations,
+                                            quantize_weights)
+
+
+def _emulated_q8(x_q, w_q, deq, bias):
+    """Integer conv reference: ring pad in int8, VALID conv in int32,
+    dequant + bias + lrelu in f32."""
+    xp = folded_reflect_pad(x_q.astype(jnp.float32)).astype(jnp.int32)
+    y = jax.lax.conv_general_dilated(
+        xp.astype(jnp.float32), w_q.astype(jnp.float32), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y * deq + bias
+    return jnp.where(y >= 0, y, 0.2 * y)
+
+
+def test_fused_q8_kernel_interpret(rng):
+    c = 32
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 4 * c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    kf, bf = fold_conv_kernel(k), fold_bias(b)
+    x_scale = float(jnp.max(jnp.abs(x))) / 127.0
+    x_q = quantize_activations(x, x_scale)
+    w_q, w_scale = quantize_weights(kf)
+    deq = x_scale * w_scale
+    sc = jnp.stack([deq, bf.astype(jnp.float32), jnp.zeros_like(deq)])
+
+    expected = _emulated_q8(x_q, w_q, deq, bf.astype(jnp.float32))
+    got = fused_folded_conv_q8(x_q, w_q, sc, out_int8=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(expected), rtol=2e-2, atol=1e-2)
+
+
+def test_q8_stylize_quality_vs_bf16(rng):
+    """PTQ int8 folded stylize stays close to the bf16 folded path."""
+    cfg = load_config(dict(network="multi_adain", enc_stack_way="constant",
+                           rp_blocks=4, hidden_dim=32, img_size=32))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+    params = variables["params"]
+
+    ref = np.asarray(stylize_multi_adain_folded(
+        params, content, style, dtype=jnp.float32, use_pallas=False))
+    scales = calibrate_multi_adain_q8(params, content, style)
+    assert len(scales["act_scales"]) > 0
+    got = np.asarray(stylize_multi_adain_folded_q8(
+        params, scales, content, style, dtype=jnp.float32, interpret=True))
+
+    mse = float(np.mean((got - ref) ** 2))
+    span = float(ref.max() - ref.min()) or 1.0
+    psnr = 10 * np.log10(span * span / max(mse, 1e-12))
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
