@@ -137,7 +137,18 @@ def fused_folded_conv(x_f: jnp.ndarray, folded_kernel: jnp.ndarray,
     shrunk to a divisor of H automatically."""
     n, h, w, c4 = x_f.shape
     c4o = folded_kernel.shape[-1]
-    while h % block_rows:
+    isz = x_f.dtype.itemsize
+
+    def vmem_bytes(br):
+        slab = (br + 2) * w * c4 * isz
+        return (2 * slab          # double-buffered DMA scratch
+                + 2 * slab        # x_m1/x_p1 shifted copies
+                + slab            # ring-fixed slab concat
+                + 4 * br * w * c4o          # f32 accumulator
+                + 2 * br * w * c4o * isz)   # double-buffered out block
+
+    while h % block_rows or (block_rows > 8
+                             and vmem_bytes(block_rows) > 11 * 2**20):
         block_rows //= 2
     block_rows = max(block_rows, 1)
     num_blocks = h // block_rows

@@ -142,7 +142,16 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
     with out_scale) or bf16."""
     n, h, w, c4 = x_q.shape
     c4o = w_q.shape[-1]
-    while h % block_rows:
+
+    def vmem_bytes(br):
+        slab = (br + 2) * w * c4  # int8
+        out_isz = 1 if out_int8 else 2
+        return (2 * slab + 2 * slab + slab
+                + 4 * br * w * c4o            # int32 accumulator
+                + 2 * br * w * c4o * out_isz)
+
+    while h % block_rows or (block_rows > 8
+                             and vmem_bytes(block_rows) > 11 * 2**20):
         block_rows //= 2
     block_rows = max(block_rows, 1)
     num_blocks = h // block_rows

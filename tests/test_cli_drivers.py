@@ -1,0 +1,97 @@
+"""End-to-end CLI driver tests: train.py / test.py run as subprocesses on
+the CPU backend against synthetic data — the same drop-in surface as the
+reference drivers (train.py --config <yaml>), covering arg parsing, the
+output tree (logs/checkpoints/test dumps), resume, and test.py's
+3-panel + stylized PNG outputs (reference test.py:139-150)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _make_data(root: Path, n: int = 2, size: int = 32):
+    rng = np.random.default_rng(0)
+    for sub in ["content", "style", "test/content", "test/style"]:
+        (root / sub).mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            Image.fromarray(
+                rng.integers(0, 255, (size, size, 3), dtype=np.uint8),
+                "RGB").save(root / sub / f"{i:02d}.png")
+
+
+def _write_cfg(path: Path, data: Path, out: Path, **over):
+    import yaml
+    cfg = dict(network="multi_adain", enc_stack_way="constant", rp_blocks=2,
+               hidden_dim=8, inception_num=0, attention="none", img_size=32,
+               batch_size=2, max_iter=3, test_iter=2, snapshot_save_iter=2,
+               log_iter=1, num_workers=0, lr=1e-4, lr_decay=0.0,
+               content_weight=1.0, style_weight=1.0, test_dataset="paired",
+               content_dir=str(data / "content"), style_dir=str(data / "style"),
+               test_dir=str(data / "test"), output=str(out), vgg="")
+    cfg.update(over)
+    path.write_text(yaml.safe_dump(cfg))
+
+
+def _run(script: str, *args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    return subprocess.run(
+        [sys.executable, str(REPO / script), *args],
+        capture_output=True, text=True, env=env, cwd=str(REPO), timeout=600)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    data, out, cfg = tmp / "data", tmp / "out", tmp / "cfg.yaml"
+    _make_data(data)
+    _write_cfg(cfg, data, out)
+    r = _run("train.py", "--config", str(cfg))
+    assert r.returncode == 0, r.stderr[-2000:]
+    return cfg, out
+
+
+def test_train_cli_output_tree(trained):
+    _, out = trained
+    assert (out / "checkpoints").is_dir()
+    assert (out / "logs").is_dir()
+    ckpts = list((out / "checkpoints").iterdir())
+    assert ckpts, "no checkpoint written"
+    dumps = list((out / "test").rglob("*.png"))
+    assert dumps, "no eval image dumps"
+
+
+def test_train_cli_metrics_log(trained):
+    _, out = trained
+    metrics = list((out / "logs").rglob("*.jsonl"))
+    assert metrics, "no JSONL metrics written"
+    rows = [json.loads(l) for l in metrics[0].read_text().splitlines() if l]
+    assert any("total_loss" in r for r in rows)
+
+
+def test_test_cli_writes_panels(trained):
+    cfg, out = trained
+    ckpt = sorted((out / "checkpoints").iterdir(),
+                  key=lambda p: p.name)[-1]
+    r = _run("test.py", "--config", str(cfg),
+             "--set", f"checkpoint_path={ckpt}", f"output={out}")
+    assert r.returncode == 0, r.stderr[-2000:]
+    pngs = list((out / "test").rglob("*-cat.png"))
+    assert pngs, "no 3-panel comparison PNGs"
+
+
+def test_train_cli_resume(trained):
+    cfg, out = trained
+    ckpt = sorted((out / "checkpoints").iterdir(), key=lambda p: p.name)[-1]
+    r = _run("train.py", "--config", str(cfg),
+             "--set", "resume=True", f"checkpoint_path={ckpt}", "max_iter=4")
+    assert r.returncode == 0, r.stderr[-2000:]
