@@ -36,10 +36,12 @@ def _conv_lrelu(x, k, b, use_pallas):
     write per layer) requires the folded channel count to fill whole
     128-wide lane tiles; other widths fall back to the XLA ring path.
     ``use_pallas='auto'`` picks the measured winner: the fused kernel at
-    small batch (latency: 243 vs 203 img/s b1), XLA's pipelined conv on
-    the ring-padded copy at large batch (512 vs 392 img/s b8)."""
+    small batch (latency: 243 vs 203 img/s b1 at 512px) and at high
+    resolution (1024px b4: 87.5 vs 25.8 img/s — the XLA ring pad copies
+    degrade with width); XLA's pipelined conv on the ring-padded copy
+    only wins for large batches of ≤512px images (512 vs 392 img/s b8)."""
     if use_pallas == "auto":
-        use_pallas = x.shape[0] <= 2
+        use_pallas = x.shape[0] <= 2 or x.shape[2] >= 512
     if (use_pallas and k.shape[2] % 128 == 0 and k.shape[3] % 128 == 0
             and jax.default_backend() != "cpu"):
         return fused_folded_conv(x, k, b)

@@ -86,18 +86,26 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
 
         slab_dma(slot, n, i, "wait")
 
-        # ---- reflect ring rows, built in the value domain ----
-        slab = scratch[slot]  # (BR+2, W, C4)
+        # ---- reflect ring rows, stored into the boundary scratch rows
+        # (read rows first into values, then a plain guarded store — a
+        # fused masked-select store into the DMA'd buffer mis-lowered on
+        # hardware, this two-step form verifies correct) ----
         lane = jax.lax.broadcasted_iota(jnp.int32, (W, C4), 1)
         subrow0 = lane < half  # sub-row-0 channel blocks
-        # top ring: folded row -1 = [row 1's sub-row-0 | row 0's sub-row-1]
-        top_ring = jnp.where(subrow0, slab[2], slab[1])
-        # bottom ring: folded row H = [row H-1 sub-row-0 | row H-2 sub-row-1]
-        bot_ring = jnp.where(subrow0, slab[BR], slab[BR - 1])
-        row_top = jnp.where(i == 0, top_ring, slab[0])
-        row_bot = jnp.where(i == num_blocks - 1, bot_ring, slab[BR + 1])
-        slab = jnp.concatenate([row_top[None], slab[1:BR + 1],
-                                row_bot[None]], axis=0)
+
+        @pl.when(i == 0)
+        def _():
+            # top ring: folded row -1 = [row 1 sub-row-0 | row 0 sub-row-1]
+            r1, r0 = scratch[slot, 2], scratch[slot, 1]
+            scratch[slot, 0] = jnp.where(subrow0, r1, r0)
+
+        @pl.when(i == num_blocks - 1)
+        def _():
+            # bottom ring: folded row H = [row H-1 sub-0 | row H-2 sub-1]
+            rl, rl1 = scratch[slot, BR], scratch[slot, BR - 1]
+            scratch[slot, BR + 1] = jnp.where(subrow0, rl, rl1)
+
+        slab = scratch[slot]  # (BR+2, W, C4), rings in place
 
         # ---- column-shifted slabs with reflect ring columns ----
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1, C4), 2)

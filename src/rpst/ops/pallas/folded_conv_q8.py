@@ -88,15 +88,20 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
 
         slab_dma(slot, n, i, "wait")
 
-        slab = scratch[slot]  # (BR+2, W, C4) int8
         lane = jax.lax.broadcasted_iota(jnp.int32, (W, C4), 1)
         subrow0 = lane < half
-        top_ring = jnp.where(subrow0, slab[2], slab[1])
-        bot_ring = jnp.where(subrow0, slab[BR], slab[BR - 1])
-        row_top = jnp.where(i == 0, top_ring, slab[0])
-        row_bot = jnp.where(i == num_blocks - 1, bot_ring, slab[BR + 1])
-        slab = jnp.concatenate([row_top[None], slab[1:BR + 1],
-                                row_bot[None]], axis=0)
+
+        @pl.when(i == 0)
+        def _():
+            r1, r0 = scratch[slot, 2], scratch[slot, 1]
+            scratch[slot, 0] = jnp.where(subrow0, r1, r0)
+
+        @pl.when(i == num_blocks - 1)
+        def _():
+            rl, rl1 = scratch[slot, BR], scratch[slot, BR - 1]
+            scratch[slot, BR + 1] = jnp.where(subrow0, rl, rl1)
+
+        slab = scratch[slot]  # (BR+2, W, C4) int8, rings in place
 
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1, C4), 2)
         subcol0 = ((lane1 // C) % 2) == 0

@@ -154,3 +154,40 @@ def test_sanet_attention_parity(rng):
 
     np.testing.assert_allclose(got, np.transpose(expected, (0, 2, 3, 1)),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_reference_checkpoint_import_roundtrip(rng, tmp_path):
+    """tools/import_reference_checkpoint: a torch {'encoder','decoder'}
+    checkpoint (AdaINRPNet format, adain_rp.py:103-108) imports into an
+    rpst params tree that reproduces the torch modules' outputs."""
+    import importlib.util
+    import pickle
+
+    spec = importlib.util.spec_from_file_location(
+        "import_ref", "tools/import_reference_checkpoint.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(0)
+    enc = tnn.Sequential(tnn.Conv2d(3, 4, 3, padding=1), tnn.ReLU(),
+                         tnn.Conv2d(4, 8, 3, padding=1), tnn.ReLU())
+    dec = tnn.Sequential(tnn.Conv2d(8, 4, 3, padding=1), tnn.ReLU(),
+                         tnn.Conv2d(4, 3, 3, padding=1), tnn.ReLU())
+    src = tmp_path / "ckpt.pth"
+    dst = tmp_path / "params.pkl"
+    torch.save({"encoder": enc.state_dict(), "decoder": dec.state_dict()},
+               str(src))
+    mod.convert(str(src), str(dst))
+    with open(dst, "rb") as f:
+        params = pickle.load(f)
+
+    from rpst.nn.blocks import RPSequence
+    x = rng.random((1, 8, 8, 3)).astype(np.float32)
+    seq = RPSequence(dims=((3, 4), (4, 8)))
+    got = np.asarray(seq.apply({"params": params["encoder"]},
+                               jnp.asarray(x), train=False))
+    with torch.no_grad():
+        expected = enc(torch.from_numpy(
+            np.transpose(x, (0, 3, 1, 2)).copy())).numpy()
+    np.testing.assert_allclose(got, np.transpose(expected, (0, 2, 3, 1)),
+                               rtol=1e-5, atol=1e-5)
