@@ -149,7 +149,50 @@ def bench_family(network: str, batches=(1, 4), img=IMG, **cfg_over):
                 f"{type(e).__name__}: {str(e)[:120]}")
 
 
+def bench_train(exec_strategy: str, batch: int, iters: int = 10,
+                repeats: int = 3):
+    """Full train-step throughput (stderr): loss + 3xVGG + grads + Adam."""
+    from functools import partial
+    from rpst.config import load_config
+    from rpst.models import build_model
+    from rpst.nn.vgg import init_vgg_params
+    from rpst.train import create_train_state
+    from rpst.train.step import make_train_step
+
+    cfg = load_config(dict(network="multi_adain", enc_stack_way="constant",
+                           rp_blocks=5, hidden_dim=32, inception_num=0,
+                           attention="none", img_size=IMG, batch_size=batch,
+                           compute_dtype="bfloat16",
+                           exec_strategy=exec_strategy))
+    bundle = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    content = jnp.asarray(np.random.default_rng(0).random(
+        (batch, IMG, IMG, 3), np.float32))
+    style = jnp.asarray(np.random.default_rng(1).random(
+        (batch, IMG, IMG, 3), np.float32))
+    _, vgg_vars = init_vgg_params(rng, num_stages=4)
+    state, tx = create_train_state(bundle, rng, content, style, vgg_vars)
+    step = make_train_step(bundle, tx)
+    state, parts = step(state, vgg_vars, content, style)
+    float(parts["total_loss"])  # axon: block_until_ready doesn't sync
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, parts = step(state, vgg_vars, content, style)
+            float(parts["total_loss"])
+        best = min(best, time.perf_counter() - t0)
+    per = best / iters
+    log(f"[train] {exec_strategy} batch={batch}: {batch/per:.2f} img/s "
+        f"({per*1e3:.1f} ms/step)")
+
+
 def main():
+    if "--train" in sys.argv:
+        for strat in ("folded", "standard"):
+            for batch in (4, 1):
+                bench_train(strat, batch)
+        return
     if "--all" in sys.argv:
         # secondary sweep: other model families + high-res scaling
         bench_family("wct", rp_blocks=5, hidden_dim=16,

@@ -95,3 +95,16 @@ def test_train_cli_resume(trained):
     r = _run("train.py", "--config", str(cfg),
              "--set", "resume=True", f"checkpoint_path={ckpt}", "max_iter=4")
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_serve_cli(trained, tmp_path):
+    cfg, out = trained
+    dst = tmp_path / "served"
+    data_dir = Path(str(cfg)).parent / "data"
+    r = _run("serve.py", "--config", str(cfg),
+             "--content", str(data_dir / "content"),
+             "--style", str(data_dir / "style" / "00.png"),
+             "--out", str(dst), "--mode", "folded", "--batch", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    outs = list(dst.glob("*.png"))
+    assert len(outs) == 2, outs

@@ -37,3 +37,61 @@ def test_save_feature_maps(tmp_path, rng):
     path = save_feature_maps(ref, feats, tmp_path, suffix="content",
                              unit_size=16)
     assert path and (tmp_path / "visualize" / "it_0_bid_0_content.png").exists()
+
+
+def test_grid_tool_composes_sheet(tmp_path, rng):
+    """tools/grid.py: method-comparison sheet composition
+    (reference utils/grid.py:170-204 semantics)."""
+    import importlib.util
+    from PIL import Image
+    spec = importlib.util.spec_from_file_location(
+        "grid_tool", "tools/grid.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    dirs = {}
+    for d in ("content", "style", "m1", "m2"):
+        p = tmp_path / d
+        p.mkdir()
+        for stem in ("a", "b"):
+            # method dirs use test.py's "{content}-{style}.png" convention
+            nme = f"{stem}-{stem}.png" if d.startswith("m") else f"{stem}.png"
+            Image.fromarray(
+                (rng.random((16, 16, 3)) * 255).astype("uint8"),
+                "RGB").save(p / nme)
+        dirs[d] = p
+
+    sheet = mod.compose_compared_imgs(
+        dirs["content"], dirs["style"], [dirs["m1"], dirs["m2"]],
+        unit_size=16, margin=2)
+    # rows = images, cols = content|style|m1|m2 (+margins)
+    assert sheet.size[0] >= 4 * 16 and sheet.size[1] >= 2 * 16
+    out = tmp_path / "sheet.png"
+    sheet.save(out)
+    assert out.exists()
+
+
+def test_prepare_cityscapes_tool(tmp_path, rng):
+    """tools/prepare_cityscapes.py pairs gtFine labels with leftImg8bit
+    photos and emits side-by-side 512x(2*512) sheets
+    (reference utils/prepare_cityscapes_dataset.py:28-66)."""
+    import importlib.util
+    from PIL import Image
+    spec = importlib.util.spec_from_file_location(
+        "prep_cs", "tools/prepare_cityscapes.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    gt = tmp_path / "gtFine" / "train" / "city"
+    left = tmp_path / "leftImg8bit" / "train" / "city"
+    gt.mkdir(parents=True)
+    left.mkdir(parents=True)
+    base = "city_000000_000019"
+    Image.fromarray(rng.integers(0, 33, (64, 128), dtype="uint8"),
+                    "L").save(gt / f"{base}_gtFine_labelIds.png")
+    Image.fromarray(rng.integers(0, 255, (64, 128, 3), dtype="uint8"),
+                    "RGB").save(left / f"{base}_leftImg8bit.png")
+    out = tmp_path / "out"
+    mod.process(tmp_path / "gtFine", tmp_path / "leftImg8bit", out, "train")
+    made = list(out.rglob("*.jpg")) + list(out.rglob("*.png"))
+    assert made, "no output images written"
