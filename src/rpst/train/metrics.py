@@ -29,18 +29,34 @@ if not logger.handlers:
 
 
 class MetricWriter:
-    def __init__(self, output_dir):
+    """JSONL scalars (machine-readable) + TensorBoard event files when
+    available — per-loss-key scalars matching the reference's
+    tensorboardX usage (``writer.add_scalar``, train.py:86,196-198)."""
+
+    def __init__(self, output_dir, tensorboard: bool = True):
         self.log_dir = Path(output_dir) / "logs"
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self._f = open(self.log_dir / "metrics.jsonl", "a", buffering=1)
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=str(self.log_dir))
+            except Exception:  # torch/tensorboard not present: JSONL only
+                self._tb = None
 
     def write(self, step: int, scalars: dict):
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in scalars.items()})
         self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), int(step))
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def save_image_row(images, path, clip=True):

@@ -101,3 +101,32 @@ def test_batch_stats_update_under_jit():
     after = jax.tree.leaves(new_state.extra["batch_stats"])
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(before, after))
+
+
+def test_metric_writer_tensorboard_roundtrip(tmp_path):
+    """MetricWriter emits TensorBoard event files readable by the TB
+    event loader, alongside the JSONL log (reference parity with
+    tensorboardX scalars, train.py:86,196-198)."""
+    from rpst.train.metrics import MetricWriter
+
+    w = MetricWriter(tmp_path)
+    w.write(1, {"total_loss": 2.5, "style_loss": 1.25})
+    w.write(2, {"total_loss": 2.0, "style_loss": 1.0})
+    w.close()
+
+    event_files = list((tmp_path / "logs").glob("events.out.tfevents.*"))
+    assert event_files, "no TB event file written"
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader)
+    from tensorboard.util import tensor_util
+    seen = {}
+    for ev in EventFileLoader(str(event_files[0])).Load():
+        for v in getattr(ev.summary, "value", []):
+            which = v.WhichOneof("value")
+            if which == "simple_value":
+                seen[(v.tag, ev.step)] = v.simple_value
+            elif which == "tensor":
+                seen[(v.tag, ev.step)] = float(
+                    tensor_util.make_ndarray(v.tensor))
+    assert seen[("total_loss", 1)] == 2.5
+    assert seen[("style_loss", 2)] == 1.0
