@@ -42,3 +42,50 @@ def test_flagship_config_values():
     assert cfg.img_size == 512 and cfg.batch_size == 2
     assert cfg.lr == 1e-4 and cfg.lr_decay == 1e-5
     assert cfg.use_mask is True and cfg.test_dataset == "photoreal"
+
+
+_MODEL_KEYS = ("network", "enc_stack_way", "rp_blocks", "hidden_dim",
+               "inception_num", "attention", "shuffle", "sort",
+               "stylized_layers", "ld_layer_num", "k", "ndf", "spade_norm",
+               "ada_module", "use_mask")
+
+
+def _distinct_model_cfgs():
+    """One representative YAML per distinct model configuration."""
+    seen, out = set(), []
+    for p in ALL_YAMLS:
+        if not p.stem.startswith("train"):
+            continue
+        cfg = load_config(p, overrides={"img_size": 16, "batch_size": 1,
+                                        "use_mask": False})
+        key = tuple((k, cfg.get(k)) for k in _MODEL_KEYS)
+        if key not in seen:
+            seen.add(key)
+            out.append(p)
+    return out
+
+
+@pytest.mark.parametrize("path", _distinct_model_cfgs() or [None],
+                         ids=lambda p: p.stem if p else "none")
+def test_reference_yaml_runs_one_loss_step(path):
+    """Every distinct reference model configuration computes a finite
+    training loss (not just constructs) at tiny size."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rpst.nn.vgg import init_vgg_params
+
+    if path is None:
+        pytest.skip("reference configs not mounted")
+    cfg = load_config(path, overrides={"img_size": 16, "batch_size": 1,
+                                       "use_mask": False, "resume": False})
+    bundle = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    r = np.random.default_rng(0)
+    content = jnp.asarray(r.random((1, 16, 16, 3)).astype(np.float32))
+    style = jnp.asarray(r.random((1, 16, 16, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(rng, num_stages=bundle.vgg_stages)
+    variables = bundle.init(rng, content, style, vgg_vars)
+    total, (parts, _) = bundle.loss(variables, vgg_vars, content, style,
+                                    train=True)
+    assert np.isfinite(float(total)), (path.name, parts)
