@@ -49,8 +49,14 @@ def perceptual_rp_losses(vgg_features: VGGFeatures,
     fuses/schedules these together.
     """
     f_stylized = vgg_features(stylized)
-    f_style = vgg_features(jax.lax.stop_gradient(style))
-    f_content = vgg_features(jax.lax.stop_gradient(content))
+    # style + content need no gradients — run them as ONE batched VGG
+    # forward (2x the rows, better MXU utilization than two passes;
+    # the stylized pass stays separate so backward only spans its rows)
+    n = style.shape[0]
+    f_sc = vgg_features(jax.lax.stop_gradient(
+        jnp.concatenate([style, content], axis=0)))
+    f_style = [f[:n] for f in f_sc]
+    f_content = [f[n:] for f in f_sc]
     loss_s = sum(style_stat_loss(a, jax.lax.stop_gradient(b))
                  for a, b in zip(f_stylized, f_style))
     loss_c = mse(f_stylized[-1], jax.lax.stop_gradient(f_content[-1]))
