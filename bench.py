@@ -32,18 +32,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(dtype_name: str):
+def build(dtype_name: str, img: int = IMG):
     from rpst.config import load_config
     from rpst.models import build_model
     cfg = load_config(dict(network="multi_adain", enc_stack_way="constant",
                            rp_blocks=5, hidden_dim=32, inception_num=0,
-                           attention="none", img_size=IMG,
+                           attention="none", img_size=img,
                            compute_dtype=dtype_name))
     return build_model(cfg)
 
 
 def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3,
-                  mode: str = "standard"):
+                  mode: str = "standard", img: int = None):
     """Time ``iters`` chained stylize passes inside ONE jitted program and
     fetch a scalar — robust against async dispatch and remote-tunnel
     runtimes where per-call block_until_ready doesn't measure compute.
@@ -53,11 +53,12 @@ def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3,
     traffic at hidden_dim=32 (see BASELINE.md). ``mode='q8'`` adds int8
     PTQ serving (2x MXU rate on v5e; ~59 dB PSNR vs bf16, still within
     the <1e-2 mean-abs-pixel parity target)."""
+    img = img or IMG
     rng = jax.random.PRNGKey(0)
     content = jnp.asarray(
-        np.random.default_rng(0).random((batch, IMG, IMG, 3), np.float32))
+        np.random.default_rng(0).random((batch, img, img, 3), np.float32))
     style = jnp.asarray(
-        np.random.default_rng(1).random((batch, IMG, IMG, 3), np.float32))
+        np.random.default_rng(1).random((batch, img, img, 3), np.float32))
     variables = bundle.model.init(rng, content, style, train=False)
 
     from functools import partial
@@ -188,6 +189,20 @@ def bench_train(exec_strategy: str, batch: int, iters: int = 10,
 
 
 def main():
+    if "--hires" in sys.argv:
+        # 1024px (4x the reference's pixel count) through the fast paths
+        bundle = build("bfloat16", img=1024)
+        for mode in ("q8", "folded"):
+            for batch in (1, 2):
+                try:
+                    ips, med = bench_stylize(bundle, batch, iters=10,
+                                             mode=mode, img=1024)
+                    log(f"[hires] 1024px {mode} batch={batch}: "
+                        f"{ips:.1f} img/s ({med*1e3:.1f} ms/pass)")
+                except Exception as e:
+                    log(f"[hires] {mode} b{batch}: {type(e).__name__}: "
+                        f"{str(e)[:120]}")
+        return
     if "--train" in sys.argv:
         for strat in ("folded", "standard"):
             for batch in (4, 1):
