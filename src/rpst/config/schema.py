@@ -109,6 +109,9 @@ DEFAULTS: Dict[str, Any] = {
     "compute_dtype": "float32",  # 'float32' | 'bfloat16' for conv compute
     "mesh_shape": None,  # e.g. {'data': 8}; None = single device
     "wct_dtype": "float32",  # reference uses float64 on GPU; TPU default f32
+    "wct_method": "closed-form",  # 'closed-form' (Lu, reference default) | 'original' (Li)
+    "n_clusters": 3,  # MST k-means cluster count (utils/mst.py:129)
+    "mst_lambda": 0.0,  # MST pairwise Potts weight (reference lam=0, adain_rp.py:434)
     "max_seg_labels": 64,  # static label universe for masked AdaIN
     "remat": False,  # rematerialize forward on backward (activation memory)
     # 'standard' | 'folded': folded = space-to-depth execution of the RP

@@ -204,6 +204,7 @@ def build_model(cfg: Config) -> ModelBundle:
             rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
             enc_stack_way=_stack_way(cfg), inception_num=cfg.inception_num,
             attention=cfg.attention, stylized_layers=cfg.stylized_layers,
+            n_clusters=cfg.n_clusters, mst_lambda=cfg.mst_lambda,
             **common)
     elif n in ("ld_adain", "ld_adain2", "ld_adain3", "ld_adain4", "ld_adain5"):
         variant = 1 if n == "ld_adain" else int(n[-1])
@@ -214,6 +215,7 @@ def build_model(cfg: Config) -> ModelBundle:
             max_seg_labels=cfg.max_seg_labels, **common)
     elif n == "wct":
         model = WCTRP(rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
+                      method=cfg.wct_method, wct_dtype=cfg.wct_dtype,
                       **common)
     elif n == "mrf":
         model = MRFRP(rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,

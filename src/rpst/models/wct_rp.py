@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn.blocks import RPSequence, rp_decrease_dims, rp_increase_dims
@@ -22,6 +23,9 @@ class WCTRP(nn.Module):
     rp_blocks: int = 5
     hidden_dim: int = 16
     method: str = "closed-form"  # reference default (wct_rp.py:82)
+    # reference casts to float64 before whiten/color (wct_rp.py:160);
+    # float32 is the TPU-native default, float64 needs jax x64 (CPU path)
+    wct_dtype: str = "float32"
     dtype: Any = None
 
     def setup(self):
@@ -37,5 +41,6 @@ class WCTRP(nn.Module):
                  c_labels=None, s_labels=None):
         cf = self.encoder(content, train=train)
         sf = self.encoder(style, train=train)
-        fused = wct_fuse(cf, sf, method=self.method)
+        fused = wct_fuse(cf, sf, method=self.method,
+                         dtype=jnp.dtype(self.wct_dtype))
         return self.decoder(fused, train=train)
