@@ -109,17 +109,20 @@ class MultiScaleAdaINRP(nn.Module):
         self.encoder = RPStack(dims=enc_dims, inception_num=self.inception_num,
                                attention=enc_attention, dtype=self.dtype,
                                name="rp_shared_encoder")
-        self.decoder = RPStack(dims=dec_dims, inception_num=self.inception_num,
-                               dtype=self.dtype, name="rp_decoder")
+        # the reference decoder is built WITHOUT inception/attention in both
+        # stack branches (adain_rp.py:158, 168)
+        self.decoder = RPStack(dims=dec_dims, dtype=self.dtype,
+                               name="rp_decoder")
 
     def encode_intermediate(self, x, train: bool = False):
         return self.encoder.intermediates_with_attention(x, train=train)
 
-    def _prep_feats(self, feats, atts, do_shuffle: bool):
+    def _prep_feats(self, feats, atts, do_shuffle: bool,
+                    do_sort: bool = True):
         if do_shuffle and self.shuffle:
             feats = [channel_shuffle(f) if i <= self.shuffle_layers else f
                      for i, f in enumerate(feats)]
-        if self.sort:
+        if do_sort and self.sort:
             feats = [sort_channels_by_attention(f, a) if a is not None else f
                      for f, a in zip(feats, atts)]
         return feats
@@ -143,7 +146,10 @@ class MultiScaleAdaINRP(nn.Module):
         sf, s_atts = self.encode_intermediate(style, train=train)
         # channel shuffle applies only at test time (adain_rp.py:251-260);
         # attention-sort applies inside decode in both modes (289-291).
-        cf = self._prep_feats(cf, c_atts, do_shuffle=test_mode)
+        # NB the reference reads attention maps cached on the *shared*
+        # encoder modules (adain_rp.py:240), and the style image is encoded
+        # last — so BOTH sorts use the style pass's attention. Preserved.
+        cf = self._prep_feats(cf, s_atts, do_shuffle=test_mode)
         sf = self._prep_feats(sf, s_atts, do_shuffle=test_mode)
         return self.decode(cf, sf, c_labels, s_labels,
                            use_mask=self.use_mask and test_mode, train=train)
@@ -210,8 +216,12 @@ class CCAMRP(nn.Module):
                  c_labels=None, s_labels=None, test_mode: bool = False):
         cf, c_atts = self.ms.encode_intermediate(content, train=train)
         sf, s_atts = self.ms.encode_intermediate(style, train=train)
-        cf = self.ms._prep_feats(cf, c_atts, do_shuffle=test_mode)
-        sf = self.ms._prep_feats(sf, s_atts, do_shuffle=test_mode)
+        # the reference CCAM decode override drops the sort branch
+        # (adain_rp.py:400-422) — shuffle still applies via test()
+        cf = self.ms._prep_feats(cf, c_atts, do_shuffle=test_mode,
+                                 do_sort=False)
+        sf = self.ms._prep_feats(sf, s_atts, do_shuffle=test_mode,
+                                 do_sort=False)
         use_mask = self.use_mask and test_mode
         L = self.max_seg_labels
 

@@ -41,8 +41,13 @@ from ..ops.stats import adaptive_instance_normalization as adain
 
 
 def _resize_nearest(x, h, w):
-    n, _, _, c = x.shape
-    return jax.image.resize(x, (n, h, w, c), method="nearest")
+    """torch ``F.interpolate(mode='nearest')`` semantics: source index =
+    ``floor(dst * in / out)`` (top-left anchored), which differs from
+    jax.image.resize's half-pixel-center rule for non-integer scales —
+    the v2/v3 big branch upsamples (H/2+2) -> H, a non-integer ratio."""
+    hi = (jnp.arange(h) * x.shape[1]) // h
+    wi = (jnp.arange(w) * x.shape[2]) // w
+    return x[:, hi][:, :, wi]
 
 
 class VGGishBigBranch(nn.Module):
@@ -93,8 +98,11 @@ class LDAdaINRP(nn.Module):
                 inception_num=self.inception_num, dtype=self.dtype,
                 name=f"rp_enc{i}_small_revf"))
             if self.variant == 1:
+                # the layer-0 big branch is 3x3 in the reference; only
+                # layers >= 1 widen to 7x7 (adain_rp.py:503-514)
+                ks = 3 if i == 0 else 7
                 bigs.append(Conv2dBlock(
-                    features=w, kernel_size=7, padding=3,
+                    features=w, kernel_size=ks, padding=ks // 2,
                     inception_num=self.inception_num, dtype=self.dtype,
                     name=f"rp_enc{i}_big_revf"))
             else:

@@ -22,8 +22,10 @@ from .base import mse, style_stat_loss
 
 
 def _resize_labels(labels, h, w):
-    n = labels.shape[0]
-    return jax.image.resize(labels, (n, h, w), method="nearest")
+    # torch-style nearest (floor(dst*in/out)): top-left anchored gather
+    hi = (jnp.arange(h) * labels.shape[1]) // h
+    wi = (jnp.arange(w) * labels.shape[2]) // w
+    return labels[:, hi][:, :, wi]
 
 
 class SourceNet(nn.Module):

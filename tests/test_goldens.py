@@ -44,6 +44,26 @@ CASES = {
     "sanet": dict(network="sanet", img_size=32),
     "ld_adain4": dict(network="ld_adain4", ld_layer_num=2, hidden_dim=4,
                       img_size=16, stylized_layers=2),
+    "ld_adain": dict(network="ld_adain", ld_layer_num=2, hidden_dim=4,
+                     img_size=16, stylized_layers=2),
+    "ld_adain2": dict(network="ld_adain2", ld_layer_num=2, hidden_dim=4,
+                      img_size=16, stylized_layers=2),
+    "ld_adain3": dict(network="ld_adain3", ld_layer_num=2, hidden_dim=4,
+                      img_size=16, stylized_layers=2),
+    "ld_adain5": dict(network="ld_adain5", ld_layer_num=2, hidden_dim=4,
+                      img_size=16, stylized_layers=2),
+    "ccam": dict(network="ccam", rp_blocks=3, hidden_dim=8, img_size=16),
+    "sel_multi_adain": dict(network="sel_multi_adain", rp_blocks=3,
+                            hidden_dim=16, img_size=16),
+    "mst": dict(network="mst", rp_blocks=3, hidden_dim=8, img_size=16,
+                stylized_layers=1),
+    "seg_adain": dict(network="seg_adain", rp_blocks=3, hidden_dim=4,
+                      img_size=16),
+    "dynamic_sanet": dict(network="dynamic_sanet", img_size=64),
+    # segment-masked AdaIN path (labels fed at stylize time)
+    "multi_adain_masked": dict(network="multi_adain", rp_blocks=3,
+                               hidden_dim=8, img_size=16, use_mask=True,
+                               max_seg_labels=4),
 }
 
 
@@ -57,7 +77,12 @@ def _compute(name):
     style = jnp.asarray(rng.random((1, s, s, 3)).astype(np.float32))
     _, vgg_vars = init_vgg_params(key, num_stages=bundle.vgg_stages)
     variables = bundle.init(key, content, style, vgg_vars)
-    out = bundle.stylize(variables, vgg_vars, content, style)
+    if cfg.get("use_mask"):
+        labels = rng.integers(0, 3, size=(2, 1, s, s)).astype(np.int32)
+        out = bundle.stylize(variables, vgg_vars, content, style,
+                             jnp.asarray(labels[0]), jnp.asarray(labels[1]))
+    else:
+        out = bundle.stylize(variables, vgg_vars, content, style)
     return np.asarray(out, np.float32)
 
 
