@@ -92,6 +92,11 @@ DEFAULTS: Dict[str, Any] = {
     # --- segmentation ---
     "class_num": 19,
     "seg_hidden_dim": 32,
+    # weight on the segmentation CE loss for network=seg_adain.  The
+    # reference wrote but commented out this path (seg_adain_rp.py:87-96);
+    # here it is runnable end-to-end: a label-bearing dataset (seg_dir,
+    # Cityscapes side-by-side layout) feeds content_label into the loss.
+    "seg_loss_weight": 1.0,
     # --- data ---
     "num_workers": 8,
     "img_size": 512,

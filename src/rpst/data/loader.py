@@ -43,7 +43,13 @@ class InfiniteLoader:
     def _worker(self):
         while not self._stop.is_set():
             idx = self._next_indices()
-            batch = np.stack([self.dataset[i] for i in idx])
+            items = [self.dataset[i] for i in idx]
+            if isinstance(items[0], tuple):
+                # multi-field datasets (e.g. Cityscapes (content, label))
+                batch = tuple(np.stack([it[j] for it in items])
+                              for j in range(len(items[0])))
+            else:
+                batch = np.stack(items)
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.5)

@@ -50,10 +50,9 @@ def shard_batch(batch, mesh: Mesh, spatial: bool = False):
     return jax.device_put(batch, NamedSharding(mesh, spec))
 
 
-def make_sharded_train_step(bundle, tx, mesh: Mesh, spatial: bool = False):
+def make_sharded_train_step(bundle, tx, mesh: Mesh, spatial: bool = False,
+                            with_labels: bool = False):
     """Data/spatial-parallel version of ``train.step.make_train_step``."""
-    from ..train.step import make_train_step  # avoid import cycle
-
     repl = NamedSharding(mesh, P())
     img_spec = (P("data", "spatial")
                 if spatial and "spatial" in mesh.axis_names else P("data"))
@@ -61,11 +60,11 @@ def make_sharded_train_step(bundle, tx, mesh: Mesh, spatial: bool = False):
 
     import optax
 
-    def step_fn(state, vgg_vars, content, style):
+    def step_fn(state, vgg_vars, content, style, content_label=None):
         def loss_fn(params):
             total, (parts, muts) = bundle.loss(
                 {"params": params, **state.extra}, vgg_vars, content, style,
-                train=True)
+                train=True, content_label=content_label)
             return total, (parts, muts)
 
         (_, (parts, muts)), grads = jax.value_and_grad(
@@ -78,7 +77,16 @@ def make_sharded_train_step(bundle, tx, mesh: Mesh, spatial: bool = False):
                                   extra=extra, opt_state=opt_state)
         return new_state, parts
 
-    return jax.jit(step_fn,
+    if with_labels:
+        # labels shard like the batch on the data axis (N, H, W)
+        label_spec = (P("data", "spatial") if spatial
+                      and "spatial" in mesh.axis_names else P("data"))
+        return jax.jit(step_fn,
+                       in_shardings=(repl, repl, data, data,
+                                     NamedSharding(mesh, label_spec)),
+                       out_shardings=(repl, repl),
+                       donate_argnums=(0,))
+    return jax.jit(lambda state, vgg_vars, c, s: step_fn(state, vgg_vars, c, s),
                    in_shardings=(repl, repl, data, data),
                    out_shardings=(repl, repl),
                    donate_argnums=(0,))

@@ -76,6 +76,15 @@ class ModelBundle:
             feats = self.vgg.apply(vgg_vars, content)
             sfeats = self.vgg.apply(vgg_vars, style)
             return self.model.init(rng, feats, sfeats)
+        if (self.network == "seg_adain"
+                and self.cfg.get("seg_loss_weight", 1.0) > 0):
+            # init through the loss so the seg head's params are created
+            # (flax materializes params lazily on first call)
+            dummy_label = jnp.zeros(content.shape[:3], jnp.int32)
+            return self.model.init(
+                rng, self._vgg_features(vgg_vars), content, style,
+                train=True, content_label=dummy_label,
+                method=self.model.loss)
         return self.model.init(rng, content, style, train=True)
 
     # ------------------------------------------------------------------
@@ -92,33 +101,42 @@ class ModelBundle:
             total = total + (c.l_identity1_weight * parts["l_identity1_loss"]
                              + c.l_identity2_weight * parts["l_identity2_loss"])
         if "seg_loss" in parts:
-            total = total + parts["seg_loss"]
+            total = total + (c.get("seg_loss_weight", 1.0)
+                             * parts["seg_loss"])
         return total
 
     def loss(self, variables, vgg_vars, content, style,
-             train: bool = True) -> Tuple[jnp.ndarray, Tuple[Dict, Dict]]:
+             train: bool = True,
+             content_label=None) -> Tuple[jnp.ndarray, Tuple[Dict, Dict]]:
         vgg_features = self._vgg_features(vgg_vars)
         mutable = ["batch_stats"] if "batch_stats" in variables else False
         model = self.model
 
         if self.network in ("mrf",) + _FEAT_MODELS or self.network == "seg_adain":
             # model-specific loss methods
+            kwargs = {}
+            if self.network == "seg_adain":
+                kwargs["content_label"] = content_label
             out = model.apply(variables, vgg_features, content, style,
                               train=train, method=model.loss,
-                              mutable=mutable)
+                              mutable=mutable, **kwargs)
             parts, muts = out if mutable else (out, {})
         elif self.folded_exec():
             # folded-domain forward (exact; differentiable XLA ring impl —
-            # the fused Pallas kernel is inference-only, no VJP)
+            # the fused Pallas kernel is inference-only, no VJP), and the
+            # perceptual loss through the folded VGG path (stages 1-2
+            # space-to-depth — same math, ~half the HBM traffic of the
+            # dominant loss backward; see rpst/nn/vgg_folded.py)
+            from ..nn.vgg_folded import perceptual_rp_losses_folded
             from .fast_path import stylize_multi_adain_folded
             stylized = stylize_multi_adain_folded(
                 variables["params"], content, style,
                 dtype=self._folded_dtype(), use_pallas=False)
             muts = {}
-            parts, _ = perceptual_rp_losses(
-                vgg_features, stylized, style, content,
-                self.cfg.content_weight, self.cfg.style_weight)
-            parts = {k: v for k, v in parts.items() if k != "total_loss"}
+            parts, _ = perceptual_rp_losses_folded(
+                vgg_vars, stylized, style, content,
+                self.cfg.content_weight, self.cfg.style_weight,
+                dtype=self._folded_dtype())
         else:
             out = model.apply(variables, content, style, train=train,
                               mutable=mutable)
@@ -234,7 +252,9 @@ def build_model(cfg: Config) -> ModelBundle:
     elif n == "seg_adain":
         model = SegAdaINRP(rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
                            class_num=cfg.class_num,
-                           seg_hidden_dim=cfg.seg_hidden_dim, **common)
+                           seg_hidden_dim=cfg.seg_hidden_dim,
+                           seg_loss_weight=cfg.get("seg_loss_weight", 1.0),
+                           **common)
     else:
         raise ValueError(f"unknown network {n!r}")
 

@@ -65,10 +65,13 @@ def create_train_state(bundle: ModelBundle, rng, sample_content, sample_style,
                       rng=state_rng), tx
 
 
-def make_train_step(bundle: ModelBundle, tx,
-                    skip_nonfinite: bool = True) -> Callable:
-    """Build the jitted step: (state, vgg_vars, content, style) →
+def make_train_step(bundle: ModelBundle, tx, skip_nonfinite: bool = True,
+                    with_labels: bool = False) -> Callable:
+    """Build the jitted step: (state, vgg_vars, content, style[, label]) →
     (new_state, loss_dict).
+
+    ``with_labels`` adds a content_label argument (int NHW) for the
+    segmentation-supervised path (network=seg_adain + Cityscapes data).
 
     ``skip_nonfinite`` is the principled version of the reference's
     blanket per-iteration ``try/except: pass`` (train.py:179,229-231): a
@@ -78,11 +81,12 @@ def make_train_step(bundle: ModelBundle, tx,
 
     remat = bool(bundle.cfg.get("remat", False))
 
-    def step_fn(state: TrainState, vgg_vars, content, style):
+    def step_fn(state: TrainState, vgg_vars, content, style,
+                content_label=None):
         def loss_fn(params):
             total, (parts, muts) = bundle.loss(
                 {"params": params, **state.extra}, vgg_vars, content, style,
-                train=True)
+                train=True, content_label=content_label)
             return total, (parts, muts)
 
         if remat:
@@ -109,7 +113,10 @@ def make_train_step(bundle: ModelBundle, tx,
             parts["skipped"] = skipped.astype(jnp.float32)
         return new_state, parts
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    if with_labels:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(lambda state, vgg_vars, c, s: step_fn(state, vgg_vars, c, s),
+                   donate_argnums=(0,))
 
 
 def make_stylize_fn(bundle: ModelBundle) -> Callable:

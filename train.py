@@ -70,7 +70,16 @@ def main():
             f"(perceptual losses will be meaningless; fine for smoke runs)")
 
     # --- data -------------------------------------------------------------
-    content_ds = ImageFolderDataset(cfg.content_dir, cfg.img_size, fmt="*")
+    # label-supervised path (network=seg_adain): a Cityscapes side-by-side
+    # dir yields (content, label) pairs; the label feeds the seg CE loss
+    # (the path the reference wrote but left unreachable —
+    # seg_adain_rp.py:87-96, datasets/cityspaces.py:28-84)
+    seg_training = bool(cfg.network == "seg_adain" and cfg.seg_dir)
+    if seg_training:
+        from rpst.data import CityscapesDataset
+        content_ds = CityscapesDataset(cfg.seg_dir, cfg.img_size)
+    else:
+        content_ds = ImageFolderDataset(cfg.content_dir, cfg.img_size, fmt="*")
     style_ds = ImageFolderDataset(cfg.style_dir, cfg.img_size, fmt="*/*")
     if len(style_ds) == 0:  # reference uses '*/*' for wikiart subdirs
         style_ds = ImageFolderDataset(cfg.style_dir, cfg.img_size, fmt="*")
@@ -107,10 +116,11 @@ def main():
         mesh = make_mesh(cfg.mesh_shape)
         state = replicate(state, mesh)
         vgg_vars = replicate(vgg_vars, mesh)
-        train_step = make_sharded_train_step(bundle, tx, mesh)
+        train_step = make_sharded_train_step(bundle, tx, mesh,
+                                             with_labels=seg_training)
         logger.info(f"Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
     else:
-        train_step = make_train_step(bundle, tx)
+        train_step = make_train_step(bundle, tx, with_labels=seg_training)
     stylize = make_stylize_fn(bundle)
 
     def run_test_dump(iteration: int):
@@ -137,12 +147,24 @@ def main():
     with CheckpointOnSignal() as stop:
         for i in range(1, cfg.max_iter):
             start = time.time()
-            content = jnp.asarray(next(content_iter))
+            content_label = None
+            if seg_training:
+                content_np, label_np = next(content_iter)
+                content = jnp.asarray(content_np)
+                content_label = jnp.asarray(label_np)
+            else:
+                content = jnp.asarray(next(content_iter))
             style = jnp.asarray(next(style_iter))
             if mesh is not None:
                 content = shard_batch(content, mesh)
                 style = shard_batch(style, mesh)
-            state, loss_dict = train_step(state, vgg_vars, content, style)
+                if content_label is not None:
+                    content_label = shard_batch(content_label, mesh)
+            if seg_training:
+                state, loss_dict = train_step(state, vgg_vars, content,
+                                              style, content_label)
+            else:
+                state, loss_dict = train_step(state, vgg_vars, content, style)
 
             if i % cfg.log_iter == 0:
                 loss_dict = jax.device_get(loss_dict)
