@@ -150,3 +150,51 @@ def test_folded_exec_strategy_stylize_matches(rng):
     a = np.asarray(b_std.stylize(variables, vgg_vars, content, style))
     b = np.asarray(b_fold.stylize(variables, vgg_vars, content, style))
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+
+def test_folded_vgg_stats_match_standard(rng):
+    """vgg_perceptual_stats (stages 1-2 folded, pool = sub-block max,
+    stats via folded_calc_mean_std) must equal the standard VGG19Encoder
+    stats + relu4_1 exactly (up to reassociation)."""
+    from rpst.nn.vgg import init_vgg_params
+    from rpst.nn.vgg_folded import vgg_perceptual_stats
+    from rpst.ops.stats import calc_mean_std
+
+    key = jax.random.PRNGKey(0)
+    model, vgg_vars = init_vgg_params(key, num_stages=4)
+    x = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+
+    stats, relu4 = vgg_perceptual_stats(vgg_vars, x, dtype=jnp.float32)
+    feats = model.apply(vgg_vars, x)
+    assert len(stats) == 4
+    for (m, s), f in zip(stats, feats):
+        em, es = calc_mean_std(f)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(em)[:, 0, 0, :],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(es)[:, 0, 0, :],
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(relu4), np.asarray(feats[-1]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_folded_perceptual_loss_matches_standard(rng):
+    from rpst.models.base import perceptual_rp_losses
+    from rpst.nn.vgg import VGG19Encoder, init_vgg_params
+    from rpst.nn.vgg_folded import perceptual_rp_losses_folded
+
+    key = jax.random.PRNGKey(1)
+    model, vgg_vars = init_vgg_params(key, num_stages=4)
+    stylized = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    content = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+
+    expected, etotal = perceptual_rp_losses(
+        lambda x: model.apply(vgg_vars, x), stylized, style, content, 1.0, 3.0)
+    got, total = perceptual_rp_losses_folded(vgg_vars, stylized, style,
+                                             content, 1.0, 3.0,
+                                             dtype=jnp.float32)
+    np.testing.assert_allclose(float(total), float(etotal), rtol=1e-5)
+    np.testing.assert_allclose(float(got["style_loss"]),
+                               float(expected["style_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(got["content_loss"]),
+                               float(expected["content_loss"]), rtol=1e-5)
