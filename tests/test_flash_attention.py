@@ -68,6 +68,39 @@ def test_flash_gradients_match_dense(rng):
                                    rtol=1e-3, atol=1e-4)
 
 
+def test_flash_backward_kernel_matches_dense(rng):
+    """The blockwise backward (dq/dkv Pallas kernels over saved LSE) must
+    reproduce dense softmax-attention gradients across multiple blocks and
+    rectangular Nq != Nk."""
+    q = jnp.asarray(rng.normal(size=(2, 128, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 64, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 64, 32)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(2, 128, 32)).astype(np.float32))
+
+    def f_flash(q, k, v):
+        return (flash_attention(q, k, v, True) * g).sum()
+
+    def f_dense(q, k, v):
+        return (_dense_attention(q, k, v) * g).sum()
+
+    gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_flash_backward_large_logit_stability(rng):
+    q = jnp.asarray(rng.normal(size=(1, 64, 16)).astype(np.float32)) * 30
+    k = jnp.asarray(rng.normal(size=(1, 64, 16)).astype(np.float32)) * 30
+    v = jnp.asarray(rng.normal(size=(1, 64, 16)).astype(np.float32))
+    gf = jax.grad(lambda q: (flash_attention(q, k, v, True) ** 2).sum())(q)
+    gd = jax.grad(lambda q: (_dense_attention(q, k, v) ** 2).sum())(q)
+    assert bool(jnp.isfinite(gf).all())
+    # near-one-hot softmax: non-selected grads are ~0, so compare absolutely
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gd), atol=1e-3)
+
+
 def test_flash_numerical_stability_large_logits(rng):
     """Running-max rewrite must survive large logits without overflow."""
     q = jnp.asarray(rng.normal(size=(1, 32, 16)).astype(np.float32)) * 30
