@@ -103,6 +103,20 @@ def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3,
     return batch / per_pass, per_pass
 
 
+# Per-family FLOPs-derived V100 denominators (img/s): XLA cost analysis of
+# each family's stylize at 512px b1 (tools/flops_estimate.py) divided into
+# the same optimistic V100 effective rate used for the flagship
+# (15.7 fp32 TFLOPs x 35% ≈ 5.5 TFLOP/s).  GFLOP/img: multi_adain 63.7,
+# adain 2508, wct 732, sanet 569, dynamic_sanet 653.
+FAMILY_BASELINE_IMG_PER_S = {
+    "multi_adain": V100_BASELINE_IMG_PER_S,  # 90 (documented in BASELINE.md)
+    "adain": 2.19,
+    "wct": 7.51,
+    "sanet": 9.67,
+    "dynamic_sanet": 8.42,
+}
+
+
 def bench_family(network: str, batches=(1, 4), img=IMG, **cfg_over):
     """Secondary per-family throughput (stderr only): wct / sanet /
     dynamic_sanet / adain at 512px, bf16."""
@@ -143,8 +157,10 @@ def bench_family(network: str, batches=(1, 4), img=IMG, **cfg_over):
                 float(run_n(variables, vgg_vars, content, style, iters))
                 best = min(best, time.perf_counter() - t0)
             per = best / iters
+            base = FAMILY_BASELINE_IMG_PER_S.get(network)
+            vs = f", vs_baseline {batch/per/base:.2f}x" if base else ""
             log(f"[all] {network} {img}px batch={batch}: "
-                f"{batch/per:.2f} img/s ({per*1e3:.1f} ms/pass)")
+                f"{batch/per:.2f} img/s ({per*1e3:.1f} ms/pass){vs}")
         except Exception as e:
             log(f"[all] {network} {img}px batch={batch}: "
                 f"{type(e).__name__}: {str(e)[:120]}")
@@ -178,10 +194,13 @@ def bench_train(exec_strategy: str, batch: int, iters: int = 10,
     float(parts["total_loss"])  # axon: block_until_ready doesn't sync
     best = float("inf")
     for _ in range(repeats):
+        # async-dispatch the whole window, sync ONCE at the end — measures
+        # device step time, not per-step host/tunnel round trips (real
+        # training only fetches losses every log_iter steps)
         t0 = time.perf_counter()
         for _ in range(iters):
             state, parts = step(state, vgg_vars, content, style)
-            float(parts["total_loss"])
+        float(parts["total_loss"])
         best = min(best, time.perf_counter() - t0)
     per = best / iters
     log(f"[train] {exec_strategy} batch={batch}: {batch/per:.2f} img/s "
@@ -205,7 +224,7 @@ def main():
         return
     if "--train" in sys.argv:
         for strat in ("folded", "standard"):
-            for batch in (4, 1):
+            for batch in (8, 4, 1):
                 bench_train(strat, batch)
         return
     if "--all" in sys.argv:

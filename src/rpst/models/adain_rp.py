@@ -67,8 +67,17 @@ class AdaINRP(nn.Module):
 
     def __call__(self, content, style, train: bool = False,
                  c_labels=None, s_labels=None):
-        cf = self.encoder(content, train=train)
-        sf = self.encoder(style, train=train)
+        # one 2N pass through the shared encoder (exact: plain conv+relu,
+        # no batch-coupled state; measured much better XLA conv shapes at
+        # small batch — see BASELINE.md round-2 training note)
+        n = content.shape[0]
+        if n > 1:
+            feats = self.encoder(jnp.concatenate([content, style], axis=0),
+                                 train=train)
+            cf, sf = feats[:n], feats[n:]
+        else:
+            cf = self.encoder(content, train=train)
+            sf = self.encoder(style, train=train)
         fused = _fuse(cf, sf, c_labels, s_labels, self.use_mask,
                       self.max_seg_labels)
         return self.decoder(fused, train=train)

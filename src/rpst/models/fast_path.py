@@ -62,7 +62,8 @@ def _folded_blocks(tree):
 
 def stylize_multi_adain_folded(params, content, style,
                                dtype=jnp.bfloat16,
-                               use_pallas="auto") -> jnp.ndarray:
+                               use_pallas="auto",
+                               batch_encode="auto") -> jnp.ndarray:
     """Folded-domain equivalent of MultiScaleAdaINRP.__call__ (constant
     stack): encode both images keeping all intermediates, AdaIN at the
     deepest scale, then per-scale residual re-fusion through the decoder
@@ -70,7 +71,14 @@ def stylize_multi_adain_folded(params, content, style,
 
     ``use_pallas=True`` runs every lane-filling layer through the fused
     reflect-pad+conv+lrelu Pallas kernel (one HBM read + one write per
-    layer); boundary layers (3↔hidden channels) use the XLA ring path."""
+    layer); boundary layers (3↔hidden channels) use the XLA ring path.
+
+    ``batch_encode`` concatenates content+style into ONE 2N encoder pass
+    (exact — shared encoder). Measured: on the differentiable XLA path at
+    small batch, XLA compiles the 2N-shaped convs much better (512px
+    training b4: 25.7 → 36.2 img/s); the Pallas inference path is faster
+    unbatched (b1 233 vs 220 img/s), so 'auto' batches only for
+    use_pallas=False and N <= 4."""
     enc = _folded_blocks(params["rp_shared_encoder"])
     dec = _folded_blocks(params["rp_decoder"])
 
@@ -82,8 +90,16 @@ def stylize_multi_adain_folded(params, content, style,
             feats.append(x)
         return feats
 
-    c_feats = encode(content)
-    s_feats = encode(style)
+    if batch_encode == "auto":
+        batch_encode = use_pallas is False and content.shape[0] <= 4
+    if batch_encode:
+        n = content.shape[0]
+        feats = encode(jnp.concatenate([content, style], axis=0))
+        c_feats = [f[:n] for f in feats]
+        s_feats = [f[n:] for f in feats]
+    else:
+        c_feats = encode(content)
+        s_feats = encode(style)
 
     stylized = folded_adain(c_feats[-1], s_feats[-1])
     k, b = dec[0]

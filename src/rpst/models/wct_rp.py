@@ -39,8 +39,16 @@ class WCTRP(nn.Module):
 
     def __call__(self, content, style, train: bool = False,
                  c_labels=None, s_labels=None):
-        cf = self.encoder(content, train=train)
-        sf = self.encoder(style, train=train)
+        # one 2N pass through the shared encoder (exact; better XLA conv
+        # shapes at small batch — see BASELINE.md round-2 training note)
+        n = content.shape[0]
+        if n > 1:
+            feats = self.encoder(jnp.concatenate([content, style], axis=0),
+                                 train=train)
+            cf, sf = feats[:n], feats[n:]
+        else:
+            cf = self.encoder(content, train=train)
+            sf = self.encoder(style, train=train)
         fused = wct_fuse(cf, sf, method=self.method,
                          dtype=jnp.dtype(self.wct_dtype))
         return self.decoder(fused, train=train)
