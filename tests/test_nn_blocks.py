@@ -153,3 +153,59 @@ def test_rp_sequence_zero_pad_matches_torch(rng):
         e = torch.relu(convs[1](torch.relu(convs[0](tx))))
     np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
                                e.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_vgg_pth_import_and_npz_conversion(rng, tmp_path):
+    """The real-weights import path (reference train.py:89-92), exercised
+    with a synthetic vgg_normalised-format .pth: torch state dict ->
+    load_vgg_params(.pth) and -> tools/convert_vgg.py -> .npz -> loader.
+    Both must reproduce the torch Sequential's features exactly."""
+    import importlib.util
+    from pathlib import Path
+
+    from rpst.nn.vgg import _TORCH_CONV_INDICES, load_vgg_params
+
+    # synthetic vgg_normalised state dict (full 44-layer Sequential keys)
+    torch.manual_seed(0)
+    specs = [(3, 3, 1), (3, 64, 3), (64, 64, 3), (64, 128, 3),
+             (128, 128, 3), (128, 256, 3), (256, 256, 3), (256, 256, 3),
+             (256, 256, 3), (256, 512, 3), (512, 512, 3), (512, 512, 3),
+             (512, 512, 3), (512, 512, 3)]
+    sd = {}
+    for idx, (cin, cout, k) in zip(_TORCH_CONV_INDICES, specs):
+        sd[f"{idx}.weight"] = torch.randn(cout, cin, k, k) * 0.1
+        sd[f"{idx}.bias"] = torch.randn(cout) * 0.1
+    pth = tmp_path / "vgg_normalised.pth"
+    torch.save(sd, str(pth))
+
+    # torch oracle of the first two stages is enough to validate mapping;
+    # build the full reference-layout Sequential
+    from tests.reference_oracle import fresh_vgg, inject_conv, to_nhwc, \
+        to_torch
+    tvgg = fresh_vgg()
+    with torch.no_grad():
+        for idx in _TORCH_CONV_INDICES:
+            tvgg[idx].weight.copy_(sd[f"{idx}.weight"])
+            tvgg[idx].bias.copy_(sd[f"{idx}.bias"])
+
+    x = rng.random((1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        expected = tvgg[:31](to_torch(x)).numpy()  # relu4_1
+
+    # .pth branch
+    model, variables = load_vgg_params(str(pth), num_stages=4)
+    got = np.asarray(model.apply(variables, jnp.asarray(x))[-1])
+    # 10 conv layers of accumulation: XLA vs MKL float noise ~1e-3 rel
+    np.testing.assert_allclose(got, np.transpose(expected, (0, 2, 3, 1)),
+                               rtol=2e-3, atol=2e-3)
+
+    # convert_vgg .npz branch
+    spec = importlib.util.spec_from_file_location(
+        "convert_vgg", Path(__file__).parent.parent / "tools/convert_vgg.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    npz = tmp_path / "vgg.npz"
+    mod.convert(str(pth), str(npz))
+    model2, variables2 = load_vgg_params(str(npz), num_stages=4)
+    got2 = np.asarray(model2.apply(variables2, jnp.asarray(x))[-1])
+    np.testing.assert_allclose(got2, got, rtol=1e-6, atol=1e-7)
