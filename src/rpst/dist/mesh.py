@@ -11,8 +11,11 @@ first-class and idiomatic TPU:
         sequence/context parallelism): stride-1 RP convs need halo
         exchange at shard edges, which XLA inserts as collective-permutes
         from the sharding annotations alone;
-  * parameters and optimizer state replicated (these models are tiny;
-    activations dominate — SURVEY §5 "long-context" note);
+  * parameters and optimizer state replicated by default (these models
+    are tiny; activations dominate — SURVEY §5 "long-context" note), with
+    optional tensor parallelism over a ``model`` axis (``tp_shardings``):
+    conv channels Megatron-column-sharded via param PartitionSpecs, the
+    SPMD partitioner inserting the channel collectives;
   * one ``jit`` holding loss, grads, Adam, so the whole step is a single
     SPMD program with fused collectives.
 """
@@ -50,10 +53,49 @@ def shard_batch(batch, mesh: Mesh, spatial: bool = False):
     return jax.device_put(batch, NamedSharding(mesh, spec))
 
 
+def _tp_leaf_spec(x, tp: int, min_channels: int):
+    """Channel PartitionSpec for one param/opt-state leaf under TP.
+
+    Megatron-style column parallelism adapted to convs: shard the output-
+    channel (last) dim of conv kernels and the channel dim of per-channel
+    vectors (biases, norm scales, Adam moments mirror these shapes) over
+    the ``model`` axis.  The SPMD partitioner propagates the sharding into
+    the conv and inserts the activation collectives (all-gather on the
+    channel dim before the next full-channel conv) over ICI — the
+    reference has no TP at all (SURVEY §2.4: "optional channel-sharded
+    conv via pjit param specs")."""
+    shape = getattr(x, "shape", ())
+    if len(shape) == 4 and shape[-1] % tp == 0 and shape[-1] >= min_channels:
+        return P(None, None, None, "model")
+    if len(shape) == 1 and shape[0] % tp == 0 and shape[0] >= min_channels:
+        return P("model")
+    return P()
+
+
+def tp_shardings(tree, mesh: Mesh, min_channels: int = 32):
+    """Pytree of NamedShardings channel-sharding ``tree`` over ``model``."""
+    tp = mesh.shape["model"]
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, _tp_leaf_spec(x, tp, min_channels)),
+        tree)
+
+
+def shard_params_tp(tree, mesh: Mesh, min_channels: int = 32):
+    """device_put ``tree`` (TrainState / params) with TP channel sharding."""
+    return jax.device_put(tree, tp_shardings(tree, mesh, min_channels))
+
+
 def make_sharded_train_step(bundle, tx, mesh: Mesh, spatial: bool = False,
-                            with_labels: bool = False):
-    """Data/spatial-parallel version of ``train.step.make_train_step``."""
+                            with_labels: bool = False, state_sharding=None):
+    """Data/spatial/tensor-parallel version of ``train.step.make_train_step``.
+
+    For TP, pass ``state_sharding=tp_shardings(state, mesh)`` (requires a
+    ``model`` mesh axis): trainable params and their optimizer moments
+    live channel-sharded (see ``_tp_leaf_spec``); the train step consumes
+    and produces them sharded, so weight memory and the update math scale
+    1/tp per device."""
     repl = NamedSharding(mesh, P())
+    state_shard = repl if state_sharding is None else state_sharding
     img_spec = (P("data", "spatial")
                 if spatial and "spatial" in mesh.axis_names else P("data"))
     data = NamedSharding(mesh, img_spec)
@@ -82,11 +124,11 @@ def make_sharded_train_step(bundle, tx, mesh: Mesh, spatial: bool = False,
         label_spec = (P("data", "spatial") if spatial
                       and "spatial" in mesh.axis_names else P("data"))
         return jax.jit(step_fn,
-                       in_shardings=(repl, repl, data, data,
+                       in_shardings=(state_shard, repl, data, data,
                                      NamedSharding(mesh, label_spec)),
-                       out_shardings=(repl, repl),
+                       out_shardings=(state_shard, repl),
                        donate_argnums=(0,))
     return jax.jit(lambda state, vgg_vars, c, s: step_fn(state, vgg_vars, c, s),
-                   in_shardings=(repl, repl, data, data),
-                   out_shardings=(repl, repl),
+                   in_shardings=(state_shard, repl, data, data),
+                   out_shardings=(state_shard, repl),
                    donate_argnums=(0,))
