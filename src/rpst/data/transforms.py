@@ -16,7 +16,17 @@ ImageFile.LOAD_TRUNCATED_IMAGES = True
 
 
 def load_image(path, img_size: int) -> np.ndarray:
-    """PIL load → RGB → (img_size, img_size) bilinear squash → f32 HWC [0,1]."""
+    """Load → RGB → (img_size, img_size) bilinear squash → f32 HWC [0,1].
+
+    Fast path: the native C++ decoder (``rpst.data.native_io`` —
+    libjpeg/libpng + a bit-exact port of PIL's fixed-point BILINEAR
+    resample), which releases the GIL so the threaded loader decodes in
+    parallel.  PIL handles whatever the native path declines
+    (CMYK/16-bit/...), producing identical bytes where both apply."""
+    from . import native_io
+    arr = native_io.load_image_native(path, img_size)
+    if arr is not None:
+        return arr
     img = Image.open(str(path)).convert("RGB")
     if img_size:
         img = img.resize((img_size, img_size), Image.BILINEAR)
