@@ -62,9 +62,25 @@ class ModelBundle:
         c = self.cfg
         return (c.get("exec_strategy", "standard") == "folded"
                 and self.network == "multi_adain"
-                and c.enc_stack_way != "deeper"
+                and self._folded_stack_ok())
+
+    def _folded_stack_ok(self) -> bool:
+        c = self.cfg
+        return (c.enc_stack_way != "deeper"
                 and c.inception_num == 0 and c.attention == "none"
                 and not c.shuffle and not c.sort and not c.use_mask)
+
+    def folded_infer(self) -> bool:
+        """Folded *inference* additionally covers sel_multi_adain and
+        ccam (eval-mode SE bottleneck / CCAM residuals fold exactly —
+        fast_path.py); their training paths stay standard (train-mode
+        BatchNorm batch stats don't belong in the folded fast path)."""
+        if self.folded_exec():
+            return True
+        c = self.cfg
+        return (c.get("exec_strategy", "standard") == "folded"
+                and self.network in ("sel_multi_adain", "ccam")
+                and self._folded_stack_ok())
 
     def _folded_dtype(self):
         return (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
@@ -165,8 +181,18 @@ class ModelBundle:
                 c_labels=None, s_labels=None):
         """Inference path — the reference's ``network.test``."""
         model = self.model
-        if self.folded_exec() and c_labels is None:
-            from .fast_path import stylize_multi_adain_folded
+        if self.folded_infer() and c_labels is None:
+            from .fast_path import (stylize_ccam_folded,
+                                    stylize_multi_adain_folded,
+                                    stylize_sel_multi_adain_folded)
+            if self.network == "sel_multi_adain":
+                return stylize_sel_multi_adain_folded(
+                    variables, content, style, dtype=self._folded_dtype())
+            if self.network == "ccam":
+                return stylize_ccam_folded(
+                    variables, content, style,
+                    stylized_layers=self.cfg.stylized_layers,
+                    dtype=self._folded_dtype())
             return stylize_multi_adain_folded(
                 variables["params"], content, style,
                 dtype=self._folded_dtype())

@@ -20,8 +20,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.folded import (fold, fold_bias, fold_conv_kernel, folded_adain,
-                          folded_conv, unfold)
+from ..ops.folded import (fold, fold_bias, fold_conv1x1_kernel,
+                          fold_conv_kernel, folded_adain,
+                          folded_channel_affine, folded_channel_pool,
+                          folded_conv, folded_zero_conv, unfold)
 from ..ops.pallas.folded_conv import fused_folded_conv
 
 
@@ -111,4 +113,130 @@ def stylize_multi_adain_folded(params, content, style,
         k, b = dec[i + 1]
         stylized = _conv_lrelu(stylized + fusion, k.astype(dtype),
                                b.astype(dtype), use_pallas)
+    return unfold(stylized).astype(content.dtype)
+
+
+# ---------------------------------------------------------------------------
+# sel_multi_adain / ccam folded inference
+# ---------------------------------------------------------------------------
+
+def _folded_bn_affine(params, stats, eps=1e-5):
+    """Eval-mode BatchNorm (running stats) as a per-channel affine."""
+    inv = 1.0 / jnp.sqrt(stats["var"] + eps)
+    scale = params["scale"] * inv
+    shift = params["bias"] - stats["mean"] * scale
+    return scale, shift
+
+
+def _folded_se_bottleneck(x_f, params, stats, dtype):
+    """SEBottleneck (nn/attention.py:53-82) in the folded domain, eval
+    mode: conv1x1/conv3x3-zero-pad fold exactly (block-diagonal / folded
+    kernels), BatchNorm running stats apply as tiled channel affines, and
+    the SE global pool is the exact mean over (Hf, Wf, sub-position)."""
+    f32 = jnp.float32
+    residual = x_f
+    k1 = fold_conv1x1_kernel(params["conv1"]["kernel"]).astype(dtype)
+    s, b = _folded_bn_affine(params["bn1"], stats["bn1"])
+    out = jax.nn.relu(folded_channel_affine(
+        folded_zero_conv(x_f, k1), s.astype(dtype), b.astype(dtype)))
+    k2 = fold_conv_kernel(params["conv2"]["kernel"]).astype(dtype)
+    s, b = _folded_bn_affine(params["bn2"], stats["bn2"])
+    out = jax.nn.relu(folded_channel_affine(
+        folded_zero_conv(out, k2), s.astype(dtype), b.astype(dtype)))
+    k3 = fold_conv1x1_kernel(params["conv3"]["kernel"]).astype(dtype)
+    s, b = _folded_bn_affine(params["bn3"], stats["bn3"])
+    out = folded_channel_affine(folded_zero_conv(out, k3),
+                                s.astype(dtype), b.astype(dtype))
+    # SELayer: global pool -> fc -> relu -> fc -> sigmoid -> channel scale
+    se = params["SELayer_0"]
+    y = folded_channel_pool(out).astype(f32)
+    y = jax.nn.relu(y @ se["Dense_0"]["kernel"].astype(f32))
+    y = jax.nn.sigmoid(y @ se["Dense_1"]["kernel"].astype(f32))
+    out = folded_channel_affine(out, y.astype(dtype))
+    return jax.nn.relu(out + residual)
+
+
+def _folded_ccam(x_f, y_f, scale):
+    """CCAMDec (models/adain_rp.py:167-189) on folded tensors: the
+    position sums split exactly over the 4 sub-position blocks, and the
+    attention recombination is per-block."""
+    n, hh, ww, c4 = x_f.shape
+    c = c4 // 4
+    xr = x_f.reshape(n, hh * ww, 4, c).reshape(n, -1, c)
+    yr = y_f.reshape(n, hh * ww, 4, c).reshape(n, -1, c)
+    energy = jnp.einsum("npc,npk->nck", xr, yr)
+    energy_new = jnp.max(energy, axis=-1, keepdims=True) - energy
+    attention = jax.nn.softmax(energy_new, axis=-1)
+    out = jnp.einsum("nck,npk->npc", attention, yr)
+    out = out.reshape(n, hh * ww, 4, c).reshape(n, hh, ww, c4)
+    return x_f + scale * out
+
+
+def _encode_folded(params_ms, content, style, dtype, use_pallas):
+    enc = _folded_blocks(params_ms["rp_shared_encoder"])
+    dec = _folded_blocks(params_ms["rp_decoder"])
+
+    def encode(img):
+        x = fold(img.astype(dtype))
+        feats = []
+        for k, b in enc:
+            x = _conv_lrelu(x, k.astype(dtype), b.astype(dtype), use_pallas)
+            feats.append(x)
+        return feats
+
+    return encode(content), encode(style), dec
+
+
+def stylize_sel_multi_adain_folded(variables, content, style,
+                                   dtype=jnp.bfloat16,
+                                   use_pallas="auto") -> jnp.ndarray:
+    """Folded-domain SELastRP inference (adain_rp.py:451-481 semantics:
+    running AdaIN re-fusion, SE bottleneck on the final fusion, no
+    residual add). Eval mode only — BatchNorm uses running stats."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {}).get("attention_block", None)
+    c_feats, s_feats, dec = _encode_folded(params["ms"], content, style,
+                                           dtype, use_pallas)
+    stylized = folded_adain(c_feats[-1], s_feats[-1])
+    k, b = dec[0]
+    stylized = _conv_lrelu(stylized, k.astype(dtype), b.astype(dtype),
+                           use_pallas)
+    pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+    for i, (_, sf) in enumerate(pairs):
+        stylized = folded_adain(stylized, sf)
+        if i == len(pairs) - 1:
+            stylized = _folded_se_bottleneck(
+                stylized, params["attention_block"], stats, dtype)
+        k, b = dec[i + 1]
+        stylized = _conv_lrelu(stylized, k.astype(dtype), b.astype(dtype),
+                               use_pallas)
+    return unfold(stylized).astype(content.dtype)
+
+
+def stylize_ccam_folded(variables, content, style, stylized_layers: int = 5,
+                        dtype=jnp.bfloat16,
+                        use_pallas="auto") -> jnp.ndarray:
+    """Folded-domain CCAMRP inference (adain_rp.py:348-422 semantics:
+    AdaIN fusion + cross-channel-attention residual before each decoder
+    block, limited to ``stylized_layers`` scales)."""
+    params = variables["params"]
+    c_feats, s_feats, dec = _encode_folded(params["ms"], content, style,
+                                           dtype, use_pallas)
+    scale = lambda i: params[f"ccam_{i}"]["scale"].astype(dtype)
+    stylized = folded_adain(c_feats[-1], s_feats[-1])
+    att_res = _folded_ccam(c_feats[-1], s_feats[-1], scale(0))
+    k, b = dec[0]
+    stylized = _conv_lrelu(stylized + att_res, k.astype(dtype),
+                           b.astype(dtype), use_pallas)
+    pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+    for i, (_, sf) in enumerate(pairs):
+        k, b = dec[i + 1]
+        if i + 1 < stylized_layers:
+            stylized = folded_adain(stylized, sf)
+            att_res = _folded_ccam(stylized, sf, scale(i + 1))
+            stylized = _conv_lrelu(stylized + att_res, k.astype(dtype),
+                                   b.astype(dtype), use_pallas)
+        else:
+            stylized = _conv_lrelu(stylized, k.astype(dtype),
+                                   b.astype(dtype), use_pallas)
     return unfold(stylized).astype(content.dtype)

@@ -239,3 +239,50 @@ def folded_adain(content_f: jnp.ndarray, style_f: jnp.ndarray,
     cm, cs = folded_calc_mean_std(content_f, eps)
     sm, ss = folded_calc_mean_std(style_f, eps)
     return (content_f - cm) / cs * ss + sm
+
+
+def fold_conv1x1_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(1, 1, Cin, Cout) → (1, 1, 4Cin, 4Cout): a 1x1 conv acts on each
+    sub-position block independently, so the folded kernel is the
+    block-diagonal kron(I4, W)."""
+    _, _, cin, cout = kernel.shape
+    kf = jnp.zeros((1, 1, 4 * cin, 4 * cout), kernel.dtype)
+    for g in range(4):
+        kf = kf.at[0, 0, g * cin:(g + 1) * cin,
+                   g * cout:(g + 1) * cout].set(kernel[0, 0])
+    return kf
+
+
+def folded_zero_conv(x_f: jnp.ndarray, folded_kernel: jnp.ndarray) -> \
+        jnp.ndarray:
+    """3x3 conv with 1-px ZERO padding in the folded domain.
+
+    An original-domain zero ring folds to an all-zero folded ring (the
+    folded kernel's taps into the ring's outer sub-rows are structurally
+    zero), so SAME zero padding on the folded tensor is exact."""
+    return _conv(x_f, folded_kernel, "SAME")
+
+
+def folded_channel_pool(x_f: jnp.ndarray) -> jnp.ndarray:
+    """Exact per-original-channel global average pool: (N, Hf, Wf, 4C) →
+    (N, C). The 4 sub-position blocks of a channel have equal pixel
+    counts, so the original-domain mean is the mean over (Hf, Wf, group)."""
+    n, hh, ww, c4 = x_f.shape
+    c = c4 // 4
+    return jnp.mean(x_f.reshape(n, hh * ww, 4, c), axis=(1, 2))
+
+
+def folded_channel_affine(x_f: jnp.ndarray, scale: jnp.ndarray,
+                          shift=None) -> jnp.ndarray:
+    """Apply a per-original-channel affine (shapes (C,) or (N, C)) to a
+    folded tensor by tiling over the 4 sub-position blocks."""
+    s4 = jnp.tile(scale, (1, 4) if scale.ndim == 2 else 4)
+    if scale.ndim == 2:
+        s4 = s4[:, None, None, :]
+    y = x_f * s4
+    if shift is not None:
+        b4 = jnp.tile(shift, (1, 4) if shift.ndim == 2 else 4)
+        if shift.ndim == 2:
+            b4 = b4[:, None, None, :]
+        y = y + b4
+    return y

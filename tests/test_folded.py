@@ -12,6 +12,7 @@ from rpst.nn.vgg import init_vgg_params
 from rpst.ops.folded import (fold, fold_bias, fold_conv_kernel, folded_adain,
                              folded_conv, folded_reflect_pad, unfold)
 from rpst.ops.stats import adaptive_instance_normalization
+import pytest
 
 
 def test_fold_unfold_roundtrip(rng):
@@ -65,6 +66,7 @@ def test_folded_adain_matches(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_folded_flagship_matches_standard_path(rng):
     """Full flagship stylize: folded execution == standard execution with
     the same parameters (f32 to isolate reassociation error)."""
@@ -102,6 +104,7 @@ def test_fused_pallas_folded_conv_interpret(rng):
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_folded_exec_strategy_loss_and_grads_match(rng):
     """exec_strategy='folded' training: loss and gradients match the
     standard execution with the same params (f32)."""
@@ -152,6 +155,7 @@ def test_folded_exec_strategy_stylize_matches(rng):
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_folded_vgg_stats_match_standard(rng):
     """vgg_perceptual_stats (stages 1-2 folded, pool = sub-block max,
     stats via folded_calc_mean_std) must equal the standard VGG19Encoder
@@ -177,6 +181,7 @@ def test_folded_vgg_stats_match_standard(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_folded_perceptual_loss_matches_standard(rng):
     from rpst.models.base import perceptual_rp_losses
     from rpst.nn.vgg import VGG19Encoder, init_vgg_params
@@ -198,3 +203,52 @@ def test_folded_perceptual_loss_matches_standard(rng):
                                float(expected["style_loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(got["content_loss"]),
                                float(expected["content_loss"]), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_folded_sel_multi_adain_stylize_matches(rng):
+    """SELastRP folded inference (SE bottleneck with eval BatchNorm as
+    folded channel affines) == the standard path."""
+    from rpst.nn.vgg import init_vgg_params
+
+    common = dict(network="sel_multi_adain", enc_stack_way="constant",
+                  rp_blocks=3, hidden_dim=16, img_size=16)
+    b_std = build_model(load_config(dict(common)))
+    b_fold = build_model(load_config(dict(common, exec_strategy="folded")))
+    assert not b_fold.folded_exec() and b_fold.folded_infer()
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = b_std.init(key, content, style, vgg_vars)
+    a = np.asarray(b_std.stylize(variables, vgg_vars, content, style))
+    b = np.asarray(b_fold.stylize(variables, vgg_vars, content, style))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_folded_ccam_stylize_matches(rng):
+    """CCAMRP folded inference (cross-channel attention over folded
+    sub-position blocks) == the standard path, including a nonzero
+    trained 'scale' so the attention branch actually contributes."""
+    from rpst.nn.vgg import init_vgg_params
+
+    common = dict(network="ccam", enc_stack_way="constant",
+                  rp_blocks=3, hidden_dim=8, img_size=16,
+                  stylized_layers=2)
+    b_std = build_model(load_config(dict(common)))
+    b_fold = build_model(load_config(dict(common, exec_strategy="folded")))
+    assert b_fold.folded_infer()
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = b_std.init(key, content, style, vgg_vars)
+    variables = jax.tree.map(lambda x: x, variables)  # unfreeze copy
+    for i in range(3):
+        if f"ccam_{i}" in variables["params"]:  # lazily created: only
+            # the stylized_layers-gated modules that actually ran exist
+            variables["params"][f"ccam_{i}"]["scale"] = jnp.full((1,), 0.5)
+    a = np.asarray(b_std.stylize(variables, vgg_vars, content, style))
+    b = np.asarray(b_fold.stylize(variables, vgg_vars, content, style))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
