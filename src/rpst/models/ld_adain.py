@@ -219,7 +219,16 @@ class LDAdaINRP(nn.Module):
 
     def __call__(self, content, style, train: bool = False,
                  c_labels=None, s_labels=None, test_mode: bool = False):
-        cf = self.encode_intermediate(content, train=train)
-        sf = self.encode_intermediate(style, train=train)
+        # One 2N pass through the shared encoder (exact — no batch-coupled
+        # ops in the LD stacks). XLA picks far better conv layouts for the
+        # 2N shapes — the same small-batch pathology class as BASELINE.md's
+        # adain b1/b4 inversion. Measured on v5e at 512px:
+        # ld_adain5 b1 6.4 -> 10.9 img/s, b4 17.2 -> 21.9;
+        # ld_adain  b4 9.3 -> 15.2, b1 neutral (13.0 -> 13.5).
+        n = content.shape[0]
+        feats = self.encode_intermediate(
+            jnp.concatenate([content, style], axis=0), train=train)
+        cf = [f[:n] for f in feats]
+        sf = [f[n:] for f in feats]
         return self.decode(cf, sf, c_labels, s_labels,
                            use_mask=self.use_mask and test_mode, train=train)
