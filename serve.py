@@ -11,12 +11,18 @@ at a fixed image size, pick the execution strategy by flag:
   * ``--mode folded``  exact bf16 space-to-depth execution,
   * ``--mode standard``the plain model path (any network).
 
-q8/folded require the flagship family (plain multi_adain constant stack);
+q8 requires the flagship family (plain multi_adain constant stack);
+folded covers multi_adain, sel_multi_adain and ccam (constant stacks);
 other networks fall back to standard automatically.
+
+``--mesh N`` serves data-parallel over the first N devices (batch sharded
+on a ``data`` axis; params replicated). Host IO (decode + PNG encode)
+overlaps device compute via async dispatch: batch t+1 is decoded and
+dispatched before batch t's outputs are fetched.
 
 Usage:
   python serve.py --config cfg.yaml --content in/ --style style.png \
-      --out stylized/ [--mode q8] [--set key=val ...]
+      --out stylized/ [--mode q8] [--mesh 4] [--set key=val ...]
 """
 
 import argparse
@@ -55,6 +61,8 @@ def main():
     parser.add_argument("--mode", default="folded",
                         choices=["standard", "folded", "q8"])
     parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--mesh", type=int, default=1,
+                        help="serve data-parallel over the first N devices")
     parser.add_argument("--set", nargs="*", default=[])
     args = parser.parse_args()
     overrides = {}
@@ -62,6 +70,9 @@ def main():
         k, v = kv.split("=", 1)
         import yaml as _yaml
         overrides[k] = _yaml.safe_load(v)
+    if args.mode != "standard":
+        # route stylize through the folded fast paths the bundle supports
+        overrides.setdefault("exec_strategy", "folded")
     cfg = load_config(args.config, overrides)
 
     bundle = build_model(cfg)
@@ -87,14 +98,31 @@ def main():
                  **jax.device_get(state.extra)}
 
     mode = args.mode
-    fast_ok = (bundle.network == "multi_adain"
-               and cfg.enc_stack_way != "deeper" and cfg.inception_num == 0
-               and cfg.attention == "none" and not cfg.shuffle
-               and not cfg.sort and not cfg.use_mask)
+    fast_ok = bundle.folded_exec() if mode == "q8" else bundle.folded_infer()
     if mode in ("folded", "q8") and not fast_ok:
-        logger.warning(f"--mode {mode} needs the plain multi_adain constant "
-                       "stack; falling back to standard")
+        logger.warning(f"--mode {mode} supports multi_adain (q8/folded) and "
+                       "sel_multi_adain/ccam (folded) constant stacks; "
+                       "falling back to standard")
         mode = "standard"
+
+    mesh = None
+    if args.mesh > 1 and mode == "q8":
+        # the int8 path runs hand-written Pallas kernels, which the SPMD
+        # partitioner can't split across a mesh; folded XLA partitions fine
+        logger.warning("--mesh with --mode q8 is unsupported (Pallas "
+                       "kernels don't partition); using folded bf16")
+        mode = "folded"
+    if args.mesh > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from rpst.dist import make_mesh
+        devices = jax.devices()[:args.mesh]
+        assert len(devices) == args.mesh, (
+            f"--mesh {args.mesh} but only {len(jax.devices())} devices")
+        assert args.batch % args.mesh == 0, "--batch must divide by --mesh"
+        mesh = make_mesh({"data": args.mesh}, devices)
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        vgg_vars = jax.device_put(vgg_vars, NamedSharding(mesh, P()))
+        logger.info(f"Serving data-parallel over {args.mesh} devices")
 
     contents = _load_images(Path(args.content), cfg.img_size)
     styles = _load_images(Path(args.style), cfg.img_size)
@@ -112,27 +140,55 @@ def main():
             jnp.broadcast_to(style_img, calib.shape))
         logger.info(f"Calibrated {len(scales['act_scales'])} layer scales")
 
-    @jax.jit
-    def run(params_and_extra, content, style):
+    def _run_impl(params_and_extra, content, style):
         if mode == "q8":
             from rpst.models.fast_path_q8 import stylize_multi_adain_folded_q8
             return stylize_multi_adain_folded_q8(
                 params_and_extra["params"], scales, content, style)
-        if mode == "folded":
-            from rpst.models.fast_path import stylize_multi_adain_folded
-            return stylize_multi_adain_folded(
-                params_and_extra["params"], content, style)
+        # folded mode routes through bundle.stylize (exec_strategy=folded
+        # picks the family's folded fast path; standard stays standard)
         return bundle.stylize(params_and_extra, vgg_vars, content, style)
 
-    n_done, t0 = 0, time.perf_counter()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        run = jax.jit(_run_impl,
+                      in_shardings=(NamedSharding(mesh, P()),
+                                    NamedSharding(mesh, P("data")),
+                                    NamedSharding(mesh, P("data"))),
+                      out_shardings=NamedSharding(mesh, P("data")))
+    else:
+        run = jax.jit(_run_impl)
+
+    def _dispatch(chunk):
+        """Decode + device_put + async dispatch; pad short batches so the
+        mesh-sharded jit sees one static shape."""
+        batch = np.stack([img for _, img in chunk])
+        pad = 0
+        if mesh is not None and len(chunk) % args.mesh:
+            pad = args.mesh - len(chunk) % args.mesh
+            batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
+        b = jnp.asarray(batch)
+        return run(variables, b, jnp.broadcast_to(style_img, b.shape)), pad
+
+    def _flush(chunk, out, pad):
+        arr = np.asarray(out)  # blocks until the device finishes
+        if pad:
+            arr = arr[:len(chunk)]
+        for b, (name, _) in enumerate(chunk):
+            save_image(arr[b], out_dir / f"{name}-{styles[0][0]}.png")
+
+    # double-buffered loop: batch t+1 decodes/dispatches while t computes
+    n_done, t0, pending = 0, time.perf_counter(), None
     for i in range(0, len(contents), args.batch):
         chunk = contents[i:i + args.batch]
-        batch = jnp.asarray(np.stack([img for _, img in chunk]))
-        style_b = jnp.broadcast_to(style_img, batch.shape)
-        out = np.asarray(run(variables, batch, style_b))
-        for b, (name, _) in enumerate(chunk):
-            save_image(out[b], out_dir / f"{name}-{styles[0][0]}.png")
-        n_done += len(chunk)
+        out, pad = _dispatch(chunk)
+        if pending is not None:
+            _flush(*pending)
+            n_done += len(pending[0])
+        pending = (chunk, out, pad)
+    if pending is not None:
+        _flush(*pending)
+        n_done += len(pending[0])
     dt = time.perf_counter() - t0
     logger.info(f"Stylized {n_done} images in {dt:.2f}s "
                 f"({n_done / dt:.1f} img/s incl host IO) -> {out_dir}")

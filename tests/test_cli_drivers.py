@@ -14,6 +14,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 
 
@@ -40,10 +42,11 @@ def _write_cfg(path: Path, data: Path, out: Path, **over):
     path.write_text(yaml.safe_dump(cfg))
 
 
-def _run(script: str, *args):
+def _run(script: str, *args, env_extra=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PYTHONPATH", None)
+    env.update(env_extra or {})
     return subprocess.run(
         [sys.executable, str(REPO / script), *args],
         capture_output=True, text=True, env=env, cwd=str(REPO), timeout=600)
@@ -108,3 +111,24 @@ def test_serve_cli(trained, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     outs = list(dst.glob("*.png"))
     assert len(outs) == 2, outs
+
+
+def test_serve_cli_mesh(trained, tmp_path):
+    """Data-parallel serving over a 2-device mesh, including the padded
+    final chunk (3 images, batch 2, mesh 2), must write every output."""
+    cfg, out = trained
+    dst = tmp_path / "served_mesh"
+    data_dir = Path(str(cfg)).parent / "data"
+    extra = data_dir / "content" / "99.png"
+    if not extra.exists():
+        Image.fromarray(np.full((32, 32, 3), 128, np.uint8), "RGB").save(extra)
+    r = _run("serve.py", "--config", str(cfg),
+             "--content", str(data_dir / "content"),
+             "--style", str(data_dir / "style" / "00.png"),
+             "--out", str(dst), "--mode", "folded", "--batch", "2",
+             "--mesh", "2",
+             env_extra={"XLA_FLAGS":
+                        "--xla_force_host_platform_device_count=2"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    outs = list(dst.glob("*.png"))
+    assert len(outs) == 3, outs
