@@ -22,11 +22,14 @@ class InfiniteLoader:
     """Endless stream of stacked image batches from a map-style dataset."""
 
     def __init__(self, dataset, batch_size: int, num_workers: int = 4,
-                 seed: Optional[int] = None, prefetch: int = 4):
+                 seed: Optional[int] = None, prefetch: int = 4,
+                 shard_index: int = 0, shard_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
-        self._sampler = InfiniteSampler(len(dataset), seed)
+        self._sampler = InfiniteSampler(len(dataset), seed,
+                                        shard_index=shard_index,
+                                        shard_count=shard_count)
         self._sampler_lock = threading.Lock()
         self._q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()

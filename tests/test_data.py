@@ -72,6 +72,20 @@ def test_infinite_sampler_covers_all():
     assert set(seen) >= set(range(5))
 
 
+def test_infinite_sampler_host_shards_partition_stream():
+    """Per-host shards (same seed) interleave to exactly the single-host
+    stream — the multi-host feeder contract."""
+    full = InfiniteSampler(7, seed=3)
+    s0 = InfiniteSampler(7, seed=3, shard_index=0, shard_count=2)
+    s1 = InfiniteSampler(7, seed=3, shard_index=1, shard_count=2)
+    stream = [next(full) for _ in range(20)]
+    merged = []
+    for _ in range(10):
+        merged.append(next(s0))
+        merged.append(next(s1))
+    assert merged == stream
+
+
 def test_infinite_loader_batches(image_tree):
     ds = ImageFolderDataset(image_tree / "content", img_size=16)
     loader = InfiniteLoader(ds, batch_size=2, num_workers=2, seed=0)
