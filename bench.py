@@ -114,6 +114,18 @@ FAMILY_BASELINE_IMG_PER_S = {
     "wct": 7.51,
     "sanet": 9.67,
     "dynamic_sanet": 8.42,
+    "sel_multi_adain": 78.59,  # GFLOP/img 69.9
+    "ccam": 79.43,             # GFLOP/img 69.2
+    "mst": 86.61,              # GFLOP/img 63.4
+    "ld_adain": 0.88,          # GFLOP/img 6232.4 (full-res ConvTranspose)
+    "ld_adain2": 6.26,         # GFLOP/img 877.5
+    "ld_adain3": 35.88,        # GFLOP/img 153.1
+    "ld_adain4": 25.59,        # GFLOP/img 214.7
+    "ld_adain5": 24.85,        # GFLOP/img 221.1
+    "src": 13.48,              # GFLOP/img 407.7
+    "mrf": 1.10,               # GFLOP/img 5008.3 ((HW)^2 affinity)
+    "spade": 0.58,             # GFLOP/img 9413.2
+    "seg_adain": 2.19,         # GFLOP/img 2508.1
 }
 
 
@@ -234,6 +246,25 @@ def main():
         bench_family("sanet")
         bench_family("dynamic_sanet")
         bench_family("adain", rp_blocks=5, hidden_dim=32)
+        bench_family("sel_multi_adain", enc_stack_way="constant",
+                     rp_blocks=5, hidden_dim=32, inception_num=0,
+                     attention="none", exec_strategy="folded")
+        bench_family("ccam", enc_stack_way="constant", rp_blocks=5,
+                     hidden_dim=32, inception_num=0, attention="none",
+                     exec_strategy="folded")
+        bench_family("mst", enc_stack_way="constant", rp_blocks=5,
+                     hidden_dim=32, stylized_layers=1)
+        bench_family("ld_adain", hidden_dim=16, ld_layer_num=5,
+                     stylized_layers=5)
+        bench_family("ld_adain2", hidden_dim=8, ld_layer_num=5)
+        bench_family("ld_adain3", hidden_dim=32, ld_layer_num=5,
+                     stylized_layers=5)
+        bench_family("ld_adain4", hidden_dim=32, ld_layer_num=5)
+        bench_family("ld_adain5", hidden_dim=32, ld_layer_num=5)
+        bench_family("src", hidden_dim=32)
+        bench_family("mrf")
+        bench_family("spade")
+        bench_family("seg_adain")
         bench_family("multi_adain", batches=(1, 4), img=1024,
                      enc_stack_way="constant", rp_blocks=5, hidden_dim=32,
                      inception_num=0, attention="none",

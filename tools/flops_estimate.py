@@ -33,6 +33,25 @@ FAMILIES = {
                 enc_stack_way="deeper"),
     "sanet": dict(network="sanet"),
     "dynamic_sanet": dict(network="dynamic_sanet"),
+    "sel_multi_adain": dict(network="sel_multi_adain",
+                            enc_stack_way="constant", rp_blocks=5,
+                            hidden_dim=32),
+    "ccam": dict(network="ccam", enc_stack_way="constant", rp_blocks=5,
+                 hidden_dim=32),
+    # remaining families at their reference-config shapes (config/rl/*)
+    "mst": dict(network="mst", enc_stack_way="constant", rp_blocks=5,
+                hidden_dim=32, stylized_layers=1),
+    "ld_adain": dict(network="ld_adain", hidden_dim=16, ld_layer_num=5,
+                     stylized_layers=5),
+    "ld_adain2": dict(network="ld_adain2", hidden_dim=8, ld_layer_num=5),
+    "ld_adain3": dict(network="ld_adain3", hidden_dim=32, ld_layer_num=5,
+                      stylized_layers=5),
+    "ld_adain4": dict(network="ld_adain4", hidden_dim=32, ld_layer_num=5),
+    "ld_adain5": dict(network="ld_adain5", hidden_dim=32, ld_layer_num=5),
+    "src": dict(network="src", hidden_dim=32),
+    "mrf": dict(network="mrf"),
+    "spade": dict(network="spade"),
+    "seg_adain": dict(network="seg_adain"),
 }
 
 
@@ -51,15 +70,21 @@ def stylize_flops(name: str, img: int = 512) -> float:
     def fn(variables, vgg_vars, c, s):
         return bundle.stylize(variables, vgg_vars, c, s)
 
-    compiled = jax.jit(fn).lower(variables, vgg_vars, c, c).compile()
-    cost = compiled.cost_analysis()
+    lowered = jax.jit(fn).lower(variables, vgg_vars, c, c)
+    # pre-optimization HLO cost analysis: flops counting without the
+    # (expensive at 512px) backend compile; falls back to compiling
+    cost = lowered.cost_analysis()
+    if not cost or "flops" not in (cost[0] if isinstance(cost, list)
+                                   else cost):
+        cost = lowered.compile().cost_analysis()
     cost = cost[0] if isinstance(cost, list) else cost
     return float(cost["flops"])
 
 
 def main():
+    names = [a for a in sys.argv[1:] if not a.startswith("-")] or FAMILIES
     print(f"{'family':<16} {'GFLOP/img (512px)':>18} {'V100 est img/s':>16}")
-    for name in FAMILIES:
+    for name in names:
         f = stylize_flops(name)
         est = V100_EFFECTIVE_TFLOPS * 1e12 / f
         print(f"{name:<16} {f / 1e9:>18.1f} {est:>16.2f}")
