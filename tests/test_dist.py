@@ -15,6 +15,9 @@ from rpst.dist import make_mesh, make_sharded_train_step, replicate, \
 from rpst.models import build_model
 from rpst.nn.vgg import init_vgg_params
 from rpst.train import create_train_state, make_train_step
+import pytest
+
+pytestmark = pytest.mark.slow
 
 BASE = dict(network="multi_adain", enc_stack_way="constant", rp_blocks=3,
             hidden_dim=8, img_size=16, batch_size=8, lr=1e-3, lr_decay=0.0)

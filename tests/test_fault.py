@@ -9,6 +9,7 @@ import numpy as np
 
 from rpst.train.fault import (CheckpointOnSignal, apply_update_if_finite,
                               tree_all_finite)
+import pytest
 
 
 def test_tree_all_finite():
@@ -32,6 +33,7 @@ def test_apply_update_if_finite_skips_nan():
     assert not bool(skipped)
 
 
+@pytest.mark.slow
 def test_nonfinite_guard_in_train_step():
     """A NaN batch must not poison the parameters."""
     from rpst.config import load_config

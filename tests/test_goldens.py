@@ -30,6 +30,8 @@ from rpst.config import load_config
 from rpst.models import build_model
 from rpst.nn.vgg import init_vgg_params
 
+pytestmark = pytest.mark.slow
+
 GOLDEN_DIR = Path(__file__).parent / "goldens"
 
 CASES = {

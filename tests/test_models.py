@@ -43,7 +43,15 @@ def _setup(network, **over):
     return bundle, variables, vgg_vars, content, style
 
 
-@pytest.mark.parametrize("network", ALL_NETWORKS)
+# smoke tier keeps one representative of each structural family; the
+# rest run in the full (slow) tier
+_SMOKE_NETWORKS = {"multi_adain", "wct", "sanet", "ld_adain3", "mrf"}
+
+
+@pytest.mark.parametrize(
+    "network",
+    [n if n in _SMOKE_NETWORKS else pytest.param(n, marks=pytest.mark.slow)
+     for n in ALL_NETWORKS])
 def test_model_loss_and_stylize(network):
     bundle, variables, vgg_vars, content, style = _setup(network)
     total, (parts, _) = bundle.loss(variables, vgg_vars, content, style)
@@ -55,6 +63,7 @@ def test_model_loss_and_stylize(network):
 
 
 @pytest.mark.parametrize("network", ["multi_adain", "wct", "sanet", "ld_adain4"])
+@pytest.mark.slow
 def test_gradients_flow(network):
     bundle, variables, vgg_vars, content, style = _setup(network)
     params = variables["params"]
@@ -74,6 +83,7 @@ def test_gradients_flow(network):
     assert all(np.isfinite(g) for g in leaves)
 
 
+@pytest.mark.slow
 def test_wct_fuse_blocks_encoder_gradients_from_fusion():
     """WCT detaches before fusing (wct_rp.py:160-163): with zero loss
     weight on style/content stats the decoder still gets gradients via the
@@ -122,6 +132,7 @@ def test_masked_stylize_multi_adain():
     assert not np.allclose(np.asarray(img), np.asarray(img2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ld_variants_stylized_layers_lt_layer_num():
     """The reference crashes for ld1-3 with stylized_layers < layer_num
     (`stylized + []`, adain_rp.py:543-552); our decode skips cleanly."""

@@ -16,6 +16,7 @@ from rpst.nn import (Conv2dBlock, RPSequence, RPStack, VGG19Encoder,
                      VGGMirrorDecoder, rp_constant_dims, rp_decrease_dims,
                      rp_increase_dims)
 from rpst.nn.vgg import init_vgg_params
+import pytest
 
 
 def _to_torch_conv(conv: tnn.Conv2d, kernel_hwio, bias):
@@ -155,6 +156,7 @@ def test_rp_sequence_zero_pad_matches_torch(rng):
                                e.numpy(), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vgg_pth_import_and_npz_conversion(rng, tmp_path):
     """The real-weights import path (reference train.py:89-92), exercised
     with a synthetic vgg_normalised-format .pth: torch state dict ->

@@ -5,6 +5,7 @@ import torch
 import torch.nn.functional as F
 
 from rpst.ops import cal_affinity_map, cal_affinity_matrix, cal_dist
+import pytest
 
 
 def test_cal_dist_matches_torch(rng):
@@ -70,6 +71,7 @@ def test_cal_affinity_matrix_cosine(rng):
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mrf_chunked_matches_dense(rng):
     """Streamed top-k masked distance sum == dense affinity*dist sum,
     including non-divisible chunk sizes (padding path)."""

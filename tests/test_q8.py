@@ -15,6 +15,9 @@ from rpst.ops.folded import fold_bias, fold_conv_kernel, folded_reflect_pad
 from rpst.ops.pallas.folded_conv_q8 import (fused_folded_conv_q8,
                                             quantize_activations,
                                             quantize_weights)
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _emulated_q8(x_q, w_q, deq, bias):

@@ -13,8 +13,9 @@ from rpst.models import build_model
 
 REF_CONFIG_DIR = Path("/root/reference/config")
 
-pytestmark = pytest.mark.skipif(not REF_CONFIG_DIR.exists(),
-                                reason="reference configs not mounted")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not REF_CONFIG_DIR.exists(),
+                                 reason="reference configs not mounted")]
 
 ALL_YAMLS = sorted(REF_CONFIG_DIR.glob("*/*.yaml"))
 

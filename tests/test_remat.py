@@ -8,6 +8,9 @@ from rpst.config import load_config
 from rpst.models import build_model
 from rpst.nn.vgg import init_vgg_params
 from rpst.train import create_train_state, make_train_step
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _run(remat: bool):

@@ -28,6 +28,8 @@ from rpst.models.seg_adain import (CITYSCAPES_CLASS_WEIGHTS, SegRPNet,
                                    cross_entropy_loss)
 from rpst.nn.vgg import init_vgg_params
 
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 
 

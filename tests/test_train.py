@@ -28,6 +28,7 @@ def _make(over=None):
     return bundle, tx, state, vgg_vars, c, s
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     bundle, tx, state, vgg_vars, c, s = _make()
     step = make_train_step(bundle, tx)
@@ -46,6 +47,7 @@ def test_lr_schedule_matches_reference():
     assert np.isclose(float(sched(99)), 0.001 / (1 + 0.01 * 100))
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     bundle, tx, state, vgg_vars, c, s = _make()
     step = make_train_step(bundle, tx)
@@ -68,6 +70,7 @@ def test_checkpoint_roundtrip(tmp_path):
                                float(p2["total_loss"]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_frozen_encoder_gets_no_updates():
     """WCT resume semantics: encoder frozen (wct_rp.py:67-72)."""
     cfg = load_config({**BASE, "network": "wct"})
@@ -91,6 +94,7 @@ def test_frozen_encoder_gets_no_updates():
                for a, b in zip(dec_before, dec_after))
 
 
+@pytest.mark.slow
 def test_batch_stats_update_under_jit():
     bundle, tx, state, vgg_vars, c, s = _make({"attention": "se"})
     assert "batch_stats" in state.extra
@@ -103,6 +107,7 @@ def test_batch_stats_update_under_jit():
                for a, b in zip(before, after))
 
 
+@pytest.mark.slow
 def test_metric_writer_tensorboard_roundtrip(tmp_path):
     """MetricWriter emits TensorBoard event files readable by the TB
     event loader, alongside the JSONL log (reference parity with
