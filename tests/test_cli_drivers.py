@@ -113,6 +113,20 @@ def test_serve_cli(trained, tmp_path):
     assert len(outs) == 2, outs
 
 
+def test_train_cli_mesh_tp(trained, tmp_path):
+    """mesh_shape with data x model axes from the config: params/moments
+    channel-shard over 'model' (TP), batch over 'data'."""
+    cfg, out = trained
+    r = _run("train.py", "--config", str(cfg),
+             "--set", "mesh_shape={data: 2, model: 2}", "hidden_dim=32",
+             "max_iter=3", "test_iter=1000", "snapshot_save_iter=1000",
+             f"output={tmp_path / 'out_tp'}",
+             env_extra={"XLA_FLAGS":
+                        "--xla_force_host_platform_device_count=4"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Mesh: {'data': 2, 'model': 2}" in r.stderr + r.stdout
+
+
 def test_serve_cli_mesh(trained, tmp_path):
     """Data-parallel serving over a 2-device mesh, including the padded
     final chunk (3 images, batch 2, mesh 2), must write every output."""

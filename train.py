@@ -35,7 +35,8 @@ from rpst.train import (MetricWriter, create_train_state, latest_step,
                         make_train_step, restore_checkpoint, save_checkpoint)
 from rpst.train.metrics import logger, save_image, save_image_row
 from rpst.train.step import make_stylize_fn
-from rpst.dist import make_mesh, make_sharded_train_step, replicate, shard_batch
+from rpst.dist import (make_mesh, make_sharded_train_step, replicate,
+                       shard_batch, tp_shardings)
 
 
 def main():
@@ -111,13 +112,22 @@ def main():
         else:
             logger.warning(f"resume requested but no checkpoint at {ckpt}")
 
-    mesh = None
+    mesh, spatial = None, False
     if cfg.mesh_shape:
         mesh = make_mesh(cfg.mesh_shape)
-        state = replicate(state, mesh)
+        spatial = "spatial" in mesh.axis_names
+        if "model" in mesh.axis_names:
+            # tensor parallelism: params + Adam moments channel-sharded
+            state_sharding = tp_shardings(state, mesh)
+            state = jax.device_put(state, state_sharding)
+        else:
+            state_sharding = None
+            state = replicate(state, mesh)
         vgg_vars = replicate(vgg_vars, mesh)
         train_step = make_sharded_train_step(bundle, tx, mesh,
-                                             with_labels=seg_training)
+                                             spatial=spatial,
+                                             with_labels=seg_training,
+                                             state_sharding=state_sharding)
         logger.info(f"Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
     else:
         train_step = make_train_step(bundle, tx, with_labels=seg_training)
@@ -156,10 +166,11 @@ def main():
                 content = jnp.asarray(next(content_iter))
             style = jnp.asarray(next(style_iter))
             if mesh is not None:
-                content = shard_batch(content, mesh)
-                style = shard_batch(style, mesh)
+                content = shard_batch(content, mesh, spatial=spatial)
+                style = shard_batch(style, mesh, spatial=spatial)
                 if content_label is not None:
-                    content_label = shard_batch(content_label, mesh)
+                    content_label = shard_batch(content_label, mesh,
+                                                spatial=spatial)
             if seg_training:
                 state, loss_dict = train_step(state, vgg_vars, content,
                                               style, content_label)
