@@ -98,10 +98,10 @@ def main():
                  **jax.device_get(state.extra)}
 
     mode = args.mode
-    fast_ok = bundle.folded_exec() if mode == "q8" else bundle.folded_infer()
+    fast_ok = bundle.q8_infer() if mode == "q8" else bundle.folded_infer()
     if mode in ("folded", "q8") and not fast_ok:
-        logger.warning(f"--mode {mode} supports multi_adain (q8/folded) and "
-                       "sel_multi_adain/ccam (folded) constant stacks; "
+        logger.warning(f"--mode {mode} supports multi_adain/sel_multi_adain "
+                       "(q8, folded) and ccam (folded) constant stacks; "
                        "falling back to standard")
         mode = "standard"
 
@@ -132,17 +132,27 @@ def main():
     style_img = jnp.asarray(styles[0][1])[None]
     scales = None
     if mode == "q8":
-        from rpst.models.fast_path_q8 import calibrate_multi_adain_q8
+        from rpst.models.fast_path_q8 import (calibrate_multi_adain_q8,
+                                              calibrate_sel_multi_adain_q8)
         calib = jnp.asarray(
             np.stack([img for _, img in contents[:args.batch]]))
-        scales = calibrate_multi_adain_q8(
-            variables["params"], calib,
-            jnp.broadcast_to(style_img, calib.shape))
+        calib_style = jnp.broadcast_to(style_img, calib.shape)
+        if bundle.network == "sel_multi_adain":
+            scales = calibrate_sel_multi_adain_q8(variables, calib,
+                                                  calib_style)
+        else:
+            scales = calibrate_multi_adain_q8(variables["params"], calib,
+                                              calib_style)
         logger.info(f"Calibrated {len(scales['act_scales'])} layer scales")
 
     def _run_impl(params_and_extra, content, style):
         if mode == "q8":
-            from rpst.models.fast_path_q8 import stylize_multi_adain_folded_q8
+            from rpst.models.fast_path_q8 import (
+                stylize_multi_adain_folded_q8,
+                stylize_sel_multi_adain_folded_q8)
+            if bundle.network == "sel_multi_adain":
+                return stylize_sel_multi_adain_folded_q8(
+                    params_and_extra, scales, content, style)
             return stylize_multi_adain_folded_q8(
                 params_and_extra["params"], scales, content, style)
         # folded mode routes through bundle.stylize (exec_strategy=folded

@@ -82,6 +82,11 @@ class ModelBundle:
                 and self.network in ("sel_multi_adain", "ccam")
                 and self._folded_stack_ok())
 
+    def q8_infer(self) -> bool:
+        """Families with an int8 PTQ serving path (fast_path_q8.py)."""
+        return (self.network in ("multi_adain", "sel_multi_adain")
+                and self._folded_stack_ok())
+
     def _folded_dtype(self):
         return (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
                 else jnp.float32)

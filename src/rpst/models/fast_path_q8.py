@@ -121,6 +121,51 @@ def _adain_affine_q8(c_feat, s_feat):
     return (cq.astype(jnp.float32) * cs - cm) / cstd * sstd + sm
 
 
+def _make_conv_q(dtype, block_rows: int, interpret: bool):
+    """Shared int8 conv closure: eligible conv on a pre-quantized input;
+    int8 out when out_scale is given, dequantized ``dtype`` otherwise."""
+
+    def conv_q(x_q, x_scale, k, b, out_scale=None):
+        w_q, w_scale = quantize_weights(k.astype(jnp.float32))
+        srow0 = x_scale * w_scale
+        srow1 = b.astype(jnp.float32)
+        if out_scale is None:
+            sc = jnp.stack([srow0, srow1, jnp.zeros_like(srow0)])
+            return fused_folded_conv_q8(x_q, w_q, sc, out_int8=False,
+                                        block_rows=block_rows,
+                                        interpret=interpret).astype(dtype)
+        srow2 = jnp.broadcast_to(jnp.float32(1.0 / out_scale), srow0.shape)
+        sc = jnp.stack([srow0, srow1, srow2])
+        return fused_folded_conv_q8(x_q, w_q, sc, out_int8=True,
+                                    block_rows=block_rows,
+                                    interpret=interpret)
+
+    return conv_q
+
+
+def _encode_q8(enc, act_scales, it, img, dtype, conv_q):
+    """Chained int8 constant-stack encoder: feats are (int8, scale) pairs
+    (shared by every family whose encoder is the plain RP stack)."""
+    x = fold(img.astype(dtype))
+    feats = []
+    for li, (k, b) in enumerate(enc):
+        if not _q8_eligible(k):
+            x = _lrelu(folded_conv(x, k.astype(dtype), b.astype(dtype)))
+            nxt = enc[li + 1][0] if li + 1 < len(enc) else None
+            if nxt is not None and _q8_eligible(nxt):
+                s = float(act_scales[next(it)])
+                x = (quantize_activations(x, s), s)
+            else:
+                x = (x, None)
+        else:
+            x_q, x_scale = x
+            # int8 out with the calibrated scale for this layer's output
+            out_s = float(act_scales[next(it)])
+            x = (conv_q(x_q, x_scale, k, b, out_scale=out_s), out_s)
+        feats.append(x)
+    return feats
+
+
 def stylize_multi_adain_folded_q8(params, scales, content, style,
                                   dtype=jnp.bfloat16,
                                   block_rows: int = 16,
@@ -136,53 +181,10 @@ def stylize_multi_adain_folded_q8(params, scales, content, style,
     dec = _folded_blocks(params["rp_decoder"])
     act_scales = np.asarray(scales["act_scales"], np.float32)
     it = iter(range(len(act_scales)))
+    conv_q = _make_conv_q(dtype, block_rows, interpret)
 
-    def conv_q(x_q, x_scale, k, b, out_scale=None):
-        """Eligible conv on pre-quantized input; int8 out when out_scale."""
-        w_q, w_scale = quantize_weights(k.astype(jnp.float32))
-        srow0 = x_scale * w_scale
-        srow1 = b.astype(jnp.float32)
-        if out_scale is None:
-            sc = jnp.stack([srow0, srow1, jnp.zeros_like(srow0)])
-            return fused_folded_conv_q8(x_q, w_q, sc, out_int8=False,
-                                        block_rows=block_rows,
-                                        interpret=interpret).astype(dtype)
-        srow2 = jnp.broadcast_to(jnp.float32(1.0 / out_scale), srow0.shape)
-        sc = jnp.stack([srow0, srow1, srow2])
-        return fused_folded_conv_q8(x_q, w_q, sc, out_int8=True,
-                                    block_rows=block_rows,
-                                    interpret=interpret)
-
-    def encode(img):
-        """Chained int8 encoder: feats are (int8, scale) pairs."""
-        x = fold(img.astype(dtype))
-        feats = []
-        for li, (k, b) in enumerate(enc):
-            if not _q8_eligible(k):
-                x = _lrelu(folded_conv(x, k.astype(dtype), b.astype(dtype)))
-                nxt = enc[li + 1][0] if li + 1 < len(enc) else None
-                if nxt is not None and _q8_eligible(nxt):
-                    s = float(act_scales[next(it)])
-                    x = (quantize_activations(x, s), s)
-                else:
-                    x = (x, None)
-            else:
-                x_q, x_scale = x
-                nxt = enc[li + 1][0] if li + 1 < len(enc) else None
-                if nxt is not None and _q8_eligible(nxt):
-                    out_s = float(act_scales[next(it)])
-                    x = (conv_q(x_q, x_scale, k, b, out_scale=out_s), out_s)
-                else:
-                    # last encoder layer: int8 out with its own absmax-based
-                    # scale (reuse the input scale as a safe bound is wrong;
-                    # calibration stores one extra trailing scale per image)
-                    out_s = float(act_scales[next(it)])
-                    x = (conv_q(x_q, x_scale, k, b, out_scale=out_s), out_s)
-            feats.append(x)
-        return feats
-
-    c_feats = encode(content)
-    s_feats = encode(style)
+    c_feats = _encode_q8(enc, act_scales, it, content, dtype, conv_q)
+    s_feats = _encode_q8(enc, act_scales, it, style, dtype, conv_q)
 
     stylized = _adain_affine_q8(c_feats[-1], s_feats[-1]).astype(dtype)
     k, b = dec[0]
@@ -200,3 +202,113 @@ def stylize_multi_adain_folded_q8(params, scales, content, style,
             stylized = _lrelu(folded_conv(
                 stylized + fusion, k.astype(dtype), b.astype(dtype)))
     return unfold(stylized).astype(content.dtype)
+
+
+# ---------------------------------------------------------------------------
+# sel_multi_adain int8 serving
+# ---------------------------------------------------------------------------
+
+def _sel_decode_q8(variables, c_feats, s_feats, dec, act_scales, it,
+                   dtype, conv_q, collect=None):
+    """SELastRP decode (adain_rp.py:451-481 semantics: running AdaIN
+    re-fusion, SE bottleneck before the final decoder block, no residual
+    add) on (int8, scale) encoder features.
+
+    The running fusion normalizes the float ``stylized`` with style stats
+    reduced over int8; the SE bottleneck stays bf16 (BatchNorm running
+    stats + sigmoid gate — not a quantization win). With ``collect`` the
+    same code path records calibration absmax instead of reading scales."""
+    from .fast_path import _folded_se_bottleneck
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {}).get("attention_block", None)
+
+    def dec_conv(x, k, b):
+        if _q8_eligible(k):
+            if collect is not None:
+                collect.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+                return _lrelu(folded_conv(x.astype(dtype), k.astype(dtype),
+                                          b.astype(dtype)))
+            s_in = float(act_scales[next(it)])
+            return conv_q(quantize_activations(x.astype(jnp.float32), s_in),
+                          s_in, k, b)
+        return _lrelu(folded_conv(x.astype(dtype), k.astype(dtype),
+                                  b.astype(dtype)))
+
+    stylized = _adain_affine_q8(c_feats[-1], s_feats[-1])
+    k, b = dec[0]
+    stylized = dec_conv(stylized, k, b)
+    pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+    for i, (_, sf) in enumerate(pairs):
+        # running fusion: stats of the float stylized, int8 style stats
+        from ..ops.folded import folded_calc_mean_std
+        cm, cstd = folded_calc_mean_std(stylized.astype(jnp.float32))
+        sm, sstd = _folded_stats_q8(sf[0], sf[1])
+        stylized = ((stylized.astype(jnp.float32) - cm) / cstd * sstd + sm)
+        if i == len(pairs) - 1:
+            stylized = _folded_se_bottleneck(
+                stylized.astype(dtype), params["attention_block"], stats,
+                dtype)
+        k, b = dec[i + 1]
+        stylized = dec_conv(stylized, k, b)
+    return unfold(stylized.astype(jnp.float32))
+
+
+def calibrate_sel_multi_adain_q8(variables, content, style):
+    """Calibration absmax for :func:`stylize_sel_multi_adain_folded_q8`,
+    recorded in exactly the consumption order (content encode, style
+    encode, then each quantized decoder input)."""
+    params = variables["params"]["ms"]
+    enc = _folded_blocks(params["rp_shared_encoder"])
+    dec = _folded_blocks(params["rp_decoder"])
+
+    def run(variables, content, style):
+        absmax = []
+        dtype = jnp.float32
+
+        def encode(img):
+            x = fold(img.astype(dtype))
+            feats = []
+            for li, (k, b) in enumerate(enc):
+                x = _lrelu(folded_conv(x, k.astype(dtype), b.astype(dtype)))
+                eligible_next = (li + 1 < len(enc)
+                                 and _q8_eligible(enc[li + 1][0]))
+                if eligible_next or (li == len(enc) - 1
+                                     and _q8_eligible(k)):
+                    absmax.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+                # exact float features as (q, scale=1) pairs — the decode
+                # collect pass must see unquantized observables
+                feats.append((x, jnp.float32(1.0)))
+            return feats
+
+        c_feats = encode(content)
+        s_feats = encode(style)
+        _sel_decode_q8(variables, c_feats, s_feats,
+                       dec, None, None, dtype, None, collect=absmax)
+        return absmax
+
+    absmax = jax.jit(lambda v, c, s: run(v, c, s))(variables, content, style)
+    scales = np.asarray([max(float(a), 1e-6) / 127.0 for a in absmax],
+                        np.float32)
+    return {"act_scales": scales}
+
+
+def stylize_sel_multi_adain_folded_q8(variables, scales, content, style,
+                                      dtype=jnp.bfloat16,
+                                      block_rows: int = 16,
+                                      interpret: bool = False) -> jnp.ndarray:
+    """Int8 PTQ folded serving for SELastRP: chained int8 encoder (shared
+    constant stack), running-fusion decode with int8-reduced style stats,
+    SE bottleneck in bf16."""
+    params = variables["params"]["ms"]
+    enc = _folded_blocks(params["rp_shared_encoder"])
+    dec = _folded_blocks(params["rp_decoder"])
+    act_scales = np.asarray(scales["act_scales"], np.float32)
+    it = iter(range(len(act_scales)))
+    conv_q = _make_conv_q(dtype, block_rows, interpret)
+
+    c_feats = _encode_q8(enc, act_scales, it, content, dtype, conv_q)
+    s_feats = _encode_q8(enc, act_scales, it, style, dtype, conv_q)
+    out = _sel_decode_q8(variables, c_feats, s_feats,
+                         dec, act_scales, it, dtype, conv_q)
+    return out.astype(content.dtype)

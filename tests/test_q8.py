@@ -72,3 +72,33 @@ def test_q8_stylize_quality_vs_bf16(rng):
     span = float(ref.max() - ref.min()) or 1.0
     psnr = 10 * np.log10(span * span / max(mse, 1e-12))
     assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_q8_sel_multi_adain_quality_vs_f32(rng):
+    """Int8 PTQ SELastRP serving stays close to the folded f32 path."""
+    from rpst.models.fast_path import stylize_sel_multi_adain_folded
+    from rpst.models.fast_path_q8 import (calibrate_sel_multi_adain_q8,
+                                          stylize_sel_multi_adain_folded_q8)
+
+    cfg = load_config(dict(network="sel_multi_adain",
+                           enc_stack_way="constant",
+                           rp_blocks=4, hidden_dim=32, img_size=32))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+
+    ref = np.asarray(stylize_sel_multi_adain_folded(
+        variables, content, style, dtype=jnp.float32, use_pallas=False))
+    scales = calibrate_sel_multi_adain_q8(variables, content, style)
+    assert len(scales["act_scales"]) > 0
+    got = np.asarray(stylize_sel_multi_adain_folded_q8(
+        variables, scales, content, style, dtype=jnp.float32,
+        interpret=True))
+
+    mse = float(np.mean((got - ref) ** 2))
+    span = float(ref.max() - ref.min()) or 1.0
+    psnr = 10 * np.log10(span * span / max(mse, 1e-12))
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
