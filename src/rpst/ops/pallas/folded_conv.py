@@ -2,27 +2,34 @@
 
 The XLA folded path (``rpst.ops.folded``) materializes a ring-padded copy
 of every activation (~70 MB of HBM traffic per layer at 512px/b1-folded);
-the attempted SAME-conv + border-fix variant was worse because XLA copies
-the whole tensor per border update.  This kernel reads x once and writes
-y once:
+this kernel reads x once and writes y once:
 
   * x stays in HBM; row slabs (block + 1-row halo) are DMA'd into VMEM
-    with **cross-grid-step double buffering** — while block t is being
-    convolved, block t+1's slab is already in flight (a synchronous
-    start/wait per step measured 4x slower at batch 8: the MXU idled on
-    DMA latency every step),
-  * the reflect rings are built **in the value domain** with full-width
-    lane selects — folding turns reflection into channel-block selects,
-    so no partial-lane stores are needed (a ``pl.when``-guarded masked
-    store into scratch mis-lowered on hardware),
+    with cross-grid-step double buffering — while block t is being
+    convolved, block t+1's slab is already in flight;
+  * the reflect ring *rows* arrive as a tiny precomputed (N, 2, W, 4C)
+    VMEM input (``ops.folded._row_ring`` — two rows, negligible) and are
+    spliced into the boundary blocks' windows **in the value domain**;
+    nothing is ever stored into the DMA'd scratch buffer;
+  * the reflect ring *columns* are built with full-width lane selects —
+    folding turns reflection into channel-block selects;
   * the 3x3 conv runs as 9 MXU matmuls (BR·W, 4C)·(4C, 4Co) accumulated
     in f32 over three column-shifted slabs, bias + LeakyReLU fused into
     the epilogue.
+
+History (2026-08-17): the round-1 version stored the ring rows into the
+DMA'd scratch under ``pl.when`` — it passed every interpret-mode test but
+**mis-lowered on real hardware** (the top ring select produced wrong
+values for one sub-row block across the full width; caught by on-device
+diffing — ``tools/hw_kernel_check.py``). An Element-halo reformulation
+(caller pre-pads ring rows, Mosaic streams overlapping windows) was exact
+but cost ~11% at batch 8: the XLA concat materializes a full padded copy
+per layer (``allow_input_fusion`` did not elide it). This version keeps
+the zero-copy DMA and moves the ring splice into values. Never trust
+interpret mode alone for kernels with manual DMA.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -33,18 +40,17 @@ from jax.experimental.pallas import tpu as pltpu
 def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
                  C4: int):
     C = C4 // 4
-    half = C4 // 2
     BR = block_rows
     total = N * num_blocks
 
-    def kernel(x_hbm, k_ref, b_ref, o_ref, scratch, sem):
+    def kernel(x_hbm, rings_ref, k_ref, b_ref, o_ref, scratch, sem):
         n = pl.program_id(0)
         i = pl.program_id(1)
         t = n * num_blocks + i
 
         # ---- double-buffered slab DMA: scratch row s of slot holds folded
-        # row r0 - 1 + s; the same pl.when structure issues the start and
-        # the (size-matched) wait. ----
+        # row r0 - 1 + s; boundary blocks fetch one fewer halo row (the
+        # ring rows come from rings_ref instead). ----
         def slab_dma(slot, n2, i2, action):
             r0 = i2 * BR
 
@@ -86,34 +92,23 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
 
         slab_dma(slot, n, i, "wait")
 
-        # ---- reflect ring rows, stored into the boundary scratch rows
-        # (read rows first into values, then a plain guarded store — a
-        # fused masked-select store into the DMA'd buffer mis-lowered on
-        # hardware, this two-step form verifies correct) ----
-        lane = jax.lax.broadcasted_iota(jnp.int32, (W, C4), 1)
-        subrow0 = lane < half  # sub-row-0 channel blocks
+        slab = scratch[slot]  # (BR+2, W, C4); boundary halo rows unset
 
-        @pl.when(i == 0)
-        def _():
-            # top ring: folded row -1 = [row 1 sub-row-0 | row 0 sub-row-1]
-            r1, r0 = scratch[slot, 2], scratch[slot, 1]
-            scratch[slot, 0] = jnp.where(subrow0, r1, r0)
-
-        @pl.when(i == num_blocks - 1)
-        def _():
-            # bottom ring: folded row H = [row H-1 sub-0 | row H-2 sub-1]
-            rl, rl1 = scratch[slot, BR], scratch[slot, BR - 1]
-            scratch[slot, BR + 1] = jnp.where(subrow0, rl, rl1)
-
-        slab = scratch[slot]  # (BR+2, W, C4), rings in place
+        # ---- splice the precomputed ring rows in the value domain:
+        # row 0 of the first block / row BR+1 of the last block come from
+        # rings_ref; every other row from the DMA'd slab. (No stores into
+        # scratch — see module history.) ----
+        row = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1, 1), 0)
+        top = jnp.where(jnp.logical_and(i == 0, row == 0),
+                        rings_ref[0, 0][None], slab)
+        slab = jnp.where(jnp.logical_and(i == num_blocks - 1, row == BR + 1),
+                         rings_ref[0, 1][None], top)
 
         # ---- column-shifted slabs with reflect ring columns ----
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1, C4), 2)
         subcol0 = ((lane1 // C) % 2) == 0  # sub-col-0 channel blocks
-        # left ring (folded col -1): sub-col-0 from col 1, sub-col-1 from 0
         left_ring = jnp.where(subcol0, slab[:, 1:2], slab[:, 0:1])
         x_m1 = jnp.concatenate([left_ring, slab[:, :W - 1]], axis=1)
-        # right ring (folded col W): sub-col-0 from col W-1, sub-col-1 W-2
         right_ring = jnp.where(subcol0, slab[:, W - 1:W], slab[:, W - 2:W - 1])
         x_p1 = jnp.concatenate([slab[:, 1:], right_ring], axis=1)
 
@@ -135,6 +130,23 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
     return kernel
 
 
+def _shrink_block_rows(h, w, c4, c4o, isz, block_rows, out_isz=None):
+    out_isz = isz if out_isz is None else out_isz
+
+    def vmem_bytes(br):
+        slab = (br + 2) * w * c4 * isz
+        return (2 * slab          # double-buffered DMA scratch
+                + 2 * slab        # x_m1/x_p1 shifted copies
+                + slab            # ring-spliced slab
+                + 4 * br * w * c4o            # f32/i32 accumulator
+                + 2 * br * w * c4o * out_isz)  # double-buffered out block
+
+    while h % block_rows or (block_rows > 8
+                             and vmem_bytes(block_rows) > 11 * 2**20):
+        block_rows //= 2
+    return max(block_rows, 1)
+
+
 def fused_folded_conv(x_f: jnp.ndarray, folded_kernel: jnp.ndarray,
                       folded_bias: jnp.ndarray, block_rows: int = 16,
                       interpret: bool = False) -> jnp.ndarray:
@@ -143,30 +155,24 @@ def fused_folded_conv(x_f: jnp.ndarray, folded_kernel: jnp.ndarray,
     x_f: (N, H, W, 4C); folded_kernel: (3, 3, 4C, 4Co) (see
     ``ops.folded.fold_conv_kernel``); folded_bias: (4Co,). block_rows is
     shrunk to a divisor of H automatically."""
+    from ..folded import _row_ring
+
     n, h, w, c4 = x_f.shape
     c4o = folded_kernel.shape[-1]
-    isz = x_f.dtype.itemsize
-
-    def vmem_bytes(br):
-        slab = (br + 2) * w * c4 * isz
-        return (2 * slab          # double-buffered DMA scratch
-                + 2 * slab        # x_m1/x_p1 shifted copies
-                + slab            # ring-fixed slab concat
-                + 4 * br * w * c4o          # f32 accumulator
-                + 2 * br * w * c4o * isz)   # double-buffered out block
-
-    while h % block_rows or (block_rows > 8
-                             and vmem_bytes(block_rows) > 11 * 2**20):
-        block_rows //= 2
-    block_rows = max(block_rows, 1)
+    block_rows = _shrink_block_rows(h, w, c4, c4o, x_f.dtype.itemsize,
+                                    block_rows)
     num_blocks = h // block_rows
 
+    rings = jnp.concatenate([_row_ring(x_f, True), _row_ring(x_f, False)],
+                            axis=1)  # (N, 2, W, C4)
     kernel = _make_kernel(block_rows, num_blocks, n, h, w, c4)
     return pl.pallas_call(
         kernel,
         grid=(n, num_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((1, 2, w, c4), lambda n_, i_: (n_, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, c4, c4o), lambda n_, i_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c4o), lambda n_, i_: (0, 0),
@@ -183,4 +189,8 @@ def fused_folded_conv(x_f: jnp.ndarray, folded_kernel: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x_f, folded_kernel, folded_bias.reshape(1, -1))
+    )(x_f, rings, folded_kernel, folded_bias.reshape(1, -1))
+
+
+# Backwards-compatible alias (the Element-halo experiment used this name).
+fused_folded_conv_v2 = fused_folded_conv

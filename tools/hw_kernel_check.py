@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""On-device numerics check: every Pallas kernel vs its XLA reference.
+
+Interpret mode exercises kernel *semantics* but not Mosaic *lowering* —
+the original manual-DMA folded conv passed every interpret test while
+producing a corrupt top ring row on real hardware (caught 2026-08-17 by
+this tool's diff). Run this on the real chip after ANY kernel change:
+
+    python tools/hw_kernel_check.py
+
+Exit code 0 = all kernels match their XLA references within dtype noise.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "src"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILED = []
+
+
+def check(name, got, ref, atol):
+    got = np.asarray(got, np.float32)
+    ref = np.asarray(ref, np.float32)
+    err = np.abs(got - ref).max()
+    ok = err <= atol
+    print(f"{'PASS' if ok else 'FAIL'} {name}: max|err| = {err:.3e} "
+          f"(atol {atol:.1e}, scale {np.abs(ref).max():.2f})")
+    if not ok:
+        FAILED.append(name)
+
+
+def main():
+    from rpst.ops.folded import fold_bias, fold_conv_kernel, folded_conv
+    from rpst.ops.pallas.folded_conv import fused_folded_conv
+    from rpst.ops.pallas.folded_conv_q8 import (fused_folded_conv_q8,
+                                                quantize_activations,
+                                                quantize_weights)
+
+    rng = np.random.default_rng(0)
+    C = 32
+    k = jnp.asarray(rng.normal(size=(3, 3, C, C)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    kf_f32, bf_f32 = fold_conv_kernel(k), fold_bias(b)
+    kf, bf = kf_f32.astype(jnp.bfloat16), bf_f32.astype(jnp.bfloat16)
+
+    def ring_ref(x, kf, bf):
+        y = folded_conv(x, kf, bf)
+        return jnp.where(y >= 0, y, 0.2 * y)
+
+    for bs, h in ((1, 256), (2, 64), (1, 32)):
+        x = jnp.asarray(rng.normal(size=(bs, h, 256, 4 * C))
+                        .astype(np.float32)).astype(jnp.bfloat16)
+        ref = jax.jit(ring_ref)(x, kf, bf)
+        got = jax.jit(fused_folded_conv)(x, kf, bf)
+        # bf16 matmul accumulation reassociation: ~1e-1 on O(20) values
+        check(f"fused_folded_conv bf16 b{bs} h{h}", got, ref, atol=0.25)
+
+    # int8 kernel vs emulated integer reference
+    w_q, w_scale = quantize_weights(kf_f32)
+    x_scale = 0.02
+    for bs, h in ((1, 64), (2, 32)):
+        xf = rng.normal(size=(bs, h, 256, 4 * C)).astype(np.float32) * 2.0
+        x_q = quantize_activations(jnp.asarray(xf), x_scale)
+        deq = (x_scale * w_scale).astype(jnp.float32)
+        sc = jnp.stack([deq, bf_f32.astype(jnp.float32),
+                        jnp.zeros_like(deq)])
+
+        def int_ref(x_q):
+            # exact integer conv emulated in f32 on the QUANTIZED weights
+            y = folded_conv(x_q.astype(jnp.float32),
+                            w_q.astype(jnp.float32),
+                            jnp.zeros_like(bf_f32))
+            y = y * deq + bf_f32
+            return jnp.where(y >= 0, y, 0.2 * y)
+
+        ref = jax.jit(int_ref)(x_q)
+        got = jax.jit(lambda x_q: fused_folded_conv_q8(
+            x_q, w_q, sc, out_int8=False))(x_q)
+        check(f"fused_folded_conv_q8 b{bs} h{h}", got, ref, atol=0.25)
+
+    if FAILED:
+        print(f"\n{len(FAILED)} kernel check(s) FAILED: {FAILED}")
+        return 1
+    print("\nall kernels match on hardware")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
