@@ -83,6 +83,27 @@ def main():
             x_q, w_q, sc, out_int8=False))(x_q)
         check(f"fused_folded_conv_q8 b{bs} h{h}", got, ref, atol=0.25)
 
+    # flash attention fwd + bwd vs the dense reference
+    from rpst.ops.pallas.flash_attention import (_dense_attention,
+                                                 flash_attention)
+    qkv = [jnp.asarray(rng.normal(size=(1, 1024, 512)).astype(np.float32))
+           .astype(jnp.bfloat16) * 0.05 for _ in range(3)]
+
+    ref = jax.jit(_dense_attention)(*qkv)
+    got = jax.jit(flash_attention)(*qkv)
+    check("flash_attention fwd (1024, 512)", got, ref, atol=0.02)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v).astype(jnp.float32) ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense_attention(q, k, v).astype(jnp.float32) ** 2)
+
+    g_got = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(*qkv)
+    g_ref = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2)))(*qkv)
+    for name, a, b in zip("dq dk dv".split(), g_got, g_ref):
+        check(f"flash_attention bwd {name} (1024, 512)", a, b, atol=0.05)
+
     if FAILED:
         print(f"\n{len(FAILED)} kernel check(s) FAILED: {FAILED}")
         return 1
