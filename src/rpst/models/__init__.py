@@ -71,10 +71,10 @@ class ModelBundle:
                 and not c.shuffle and not c.sort and not c.use_mask)
 
     def folded_infer(self) -> bool:
-        """Folded *inference* additionally covers sel_multi_adain and
-        ccam (eval-mode SE bottleneck / CCAM residuals fold exactly —
-        fast_path.py); their training paths stay standard (train-mode
-        BatchNorm batch stats don't belong in the folded fast path)."""
+        """Folded execution additionally covers sel_multi_adain and ccam
+        (SE bottleneck — eval running stats or train batch stats — and
+        CCAM residuals fold exactly; fast_path.py), for both stylize and
+        the training loss."""
         if self.folded_exec():
             return True
         c = self.cfg
@@ -142,18 +142,40 @@ class ModelBundle:
                               train=train, method=model.loss,
                               mutable=mutable, **kwargs)
             parts, muts = out if mutable else (out, {})
-        elif self.folded_exec():
+        elif self.folded_infer():
             # folded-domain forward (exact; differentiable XLA ring impl —
             # the fused Pallas kernel is inference-only, no VJP), and the
             # perceptual loss through the folded VGG path (stages 1-2
             # space-to-depth — same math, ~half the HBM traffic of the
             # dominant loss backward; see rpst/nn/vgg_folded.py)
             from ..nn.vgg_folded import perceptual_rp_losses_folded
-            from .fast_path import stylize_multi_adain_folded
-            stylized = stylize_multi_adain_folded(
-                variables["params"], content, style,
-                dtype=self._folded_dtype(), use_pallas=False)
+            from .fast_path import (stylize_ccam_folded,
+                                    stylize_multi_adain_folded,
+                                    stylize_sel_multi_adain_folded,
+                                    stylize_sel_multi_adain_folded_train)
             muts = {}
+            if self.network == "sel_multi_adain":
+                if train:
+                    stylized, muts = stylize_sel_multi_adain_folded_train(
+                        variables, content, style,
+                        dtype=self._folded_dtype())
+                    if not mutable:
+                        muts = {}
+                else:
+                    stylized = stylize_sel_multi_adain_folded(
+                        variables, content, style,
+                        dtype=self._folded_dtype(), use_pallas=False)
+            elif self.network == "ccam":
+                # no batch-coupled state under the folded gate; the CCAM
+                # einsums and scale params differentiate directly
+                stylized = stylize_ccam_folded(
+                    variables, content, style,
+                    stylized_layers=self.cfg.stylized_layers,
+                    dtype=self._folded_dtype(), use_pallas=False)
+            else:
+                stylized = stylize_multi_adain_folded(
+                    variables["params"], content, style,
+                    dtype=self._folded_dtype(), use_pallas=False)
             parts, _ = perceptual_rp_losses_folded(
                 vgg_vars, stylized, style, content,
                 self.cfg.content_weight, self.cfg.style_weight,

@@ -128,6 +128,27 @@ def _folded_bn_affine(params, stats, eps=1e-5):
     return scale, shift
 
 
+def _folded_bn_train(x_f, params, stats, momentum=0.9, eps=1e-5):
+    """Train-mode BatchNorm on a folded tensor: batch statistics reduce
+    exactly over (N, Hf, Wf, sub-position) per original channel (flax's
+    fast-variance form: E[x²] − E[x]²), running stats updated with the
+    same momentum. Returns (y_f, new_stats)."""
+    n, hh, ww, c4 = x_f.shape
+    c = c4 // 4
+    v = x_f.astype(jnp.float32).reshape(n, hh * ww, 4, c)
+    mean = jnp.mean(v, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(v), axis=(0, 1, 2)) - jnp.square(mean)
+    scale = params["scale"].astype(jnp.float32) / jnp.sqrt(var + eps)
+    shift = params["bias"].astype(jnp.float32) - mean * scale
+    y = folded_channel_affine(x_f, scale.astype(x_f.dtype),
+                              shift.astype(x_f.dtype))
+    new_stats = {
+        "mean": momentum * stats["mean"] + (1 - momentum) * mean,
+        "var": momentum * stats["var"] + (1 - momentum) * var,
+    }
+    return y, new_stats
+
+
 def _folded_se_bottleneck(x_f, params, stats, dtype):
     """SEBottleneck (nn/attention.py:53-82) in the folded domain, eval
     mode: conv1x1/conv3x3-zero-pad fold exactly (block-diagonal / folded
@@ -156,10 +177,67 @@ def _folded_se_bottleneck(x_f, params, stats, dtype):
     return jax.nn.relu(out + residual)
 
 
+def _folded_se_bottleneck_train(x_f, params, stats, dtype):
+    """Train-mode SEBottleneck (batch-stat BatchNorm) in the folded
+    domain; returns (y_f, new_batch_stats) mirroring flax's mutable
+    ``batch_stats`` collection layout."""
+    f32 = jnp.float32
+    residual = x_f
+    new_stats = {}
+    k1 = fold_conv1x1_kernel(params["conv1"]["kernel"]).astype(dtype)
+    out, new_stats["bn1"] = _folded_bn_train(
+        folded_zero_conv(x_f, k1), params["bn1"], stats["bn1"])
+    out = jax.nn.relu(out)
+    k2 = fold_conv_kernel(params["conv2"]["kernel"]).astype(dtype)
+    out, new_stats["bn2"] = _folded_bn_train(
+        folded_zero_conv(out, k2), params["bn2"], stats["bn2"])
+    out = jax.nn.relu(out)
+    k3 = fold_conv1x1_kernel(params["conv3"]["kernel"]).astype(dtype)
+    out, new_stats["bn3"] = _folded_bn_train(
+        folded_zero_conv(out, k3), params["bn3"], stats["bn3"])
+    se = params["SELayer_0"]
+    y = folded_channel_pool(out).astype(f32)
+    y = jax.nn.relu(y @ se["Dense_0"]["kernel"].astype(f32))
+    y = jax.nn.sigmoid(y @ se["Dense_1"]["kernel"].astype(f32))
+    out = folded_channel_affine(out, y.astype(out.dtype))
+    return jax.nn.relu(out + residual), new_stats
+
+
+def stylize_sel_multi_adain_folded_train(variables, content, style,
+                                         dtype=jnp.bfloat16):
+    """Differentiable train-mode SELastRP forward in the folded domain
+    (XLA path only — the fused Pallas kernel has no VJP). Returns
+    (stylized, muts) where muts is the updated ``batch_stats``
+    collection."""
+    params = variables["params"]
+    stats = variables["batch_stats"]["attention_block"]
+    c_feats, s_feats, dec = _encode_folded(params["ms"], content, style,
+                                           dtype, use_pallas=False)
+    stylized = folded_adain(c_feats[-1], s_feats[-1])
+    k, b = dec[0]
+    stylized = _conv_lrelu(stylized, k.astype(dtype), b.astype(dtype), False)
+    new_stats = None
+    pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+    for i, (_, sf) in enumerate(pairs):
+        stylized = folded_adain(stylized, sf)
+        if i == len(pairs) - 1:
+            stylized, new_stats = _folded_se_bottleneck_train(
+                stylized, params["attention_block"], stats, dtype)
+        k, b = dec[i + 1]
+        stylized = _conv_lrelu(stylized, k.astype(dtype), b.astype(dtype),
+                               False)
+    muts = {"batch_stats": {"attention_block": new_stats}}
+    return unfold(stylized).astype(content.dtype), muts
+
+
 def _folded_ccam(x_f, y_f, scale):
     """CCAMDec (models/adain_rp.py:167-189) on folded tensors: the
     position sums split exactly over the 4 sub-position blocks, and the
-    attention recombination is per-block."""
+    attention recombination is per-block. Inputs are detached exactly as
+    the reference does — only ``scale`` receives gradient through the
+    attention residual."""
+    x_f = jax.lax.stop_gradient(x_f)
+    y_f = jax.lax.stop_gradient(y_f)
     n, hh, ww, c4 = x_f.shape
     c = c4 // 4
     xr = x_f.reshape(n, hh * ww, 4, c).reshape(n, -1, c)

@@ -252,3 +252,77 @@ def test_folded_ccam_stylize_matches(rng):
     a = np.asarray(b_std.stylize(variables, vgg_vars, content, style))
     b = np.asarray(b_fold.stylize(variables, vgg_vars, content, style))
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_folded_sel_loss_grads_and_stats_match(rng):
+    """exec_strategy='folded' SELastRP training: loss, gradients, AND the
+    train-mode BatchNorm batch_stats updates match the standard path."""
+    from rpst.nn.vgg import init_vgg_params
+
+    common = dict(network="sel_multi_adain", enc_stack_way="constant",
+                  rp_blocks=3, hidden_dim=16, img_size=16)
+    b_std = build_model(load_config(dict(common)))
+    b_fold = build_model(load_config(dict(common, exec_strategy="folded")))
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = b_std.init(key, content, style, vgg_vars)
+
+    def loss(bundle):
+        def f(params):
+            total, (parts, muts) = bundle.loss(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                vgg_vars, content, style, train=True)
+            return total, muts
+        return jax.value_and_grad(f, has_aux=True)(variables["params"])
+
+    (l_std, m_std), g_std = loss(b_std)
+    (l_fold, m_fold), g_fold = loss(b_fold)
+    np.testing.assert_allclose(float(l_fold), float(l_std), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_fold), jax.tree.leaves(g_std)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
+    # updated running stats must match (same tree structure and values)
+    assert (jax.tree.structure(m_fold["batch_stats"])
+            == jax.tree.structure(m_std["batch_stats"]))
+    for a, b in zip(jax.tree.leaves(m_fold["batch_stats"]),
+                    jax.tree.leaves(m_std["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_folded_ccam_loss_and_grads_match(rng):
+    """exec_strategy='folded' CCAMRP training: loss and gradients
+    (including through the CCAM attention scale params) match."""
+    from rpst.nn.vgg import init_vgg_params
+
+    common = dict(network="ccam", enc_stack_way="constant",
+                  rp_blocks=3, hidden_dim=8, img_size=16,
+                  stylized_layers=3)
+    b_std = build_model(load_config(dict(common)))
+    b_fold = build_model(load_config(dict(common, exec_strategy="folded")))
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = b_std.init(key, content, style, vgg_vars)
+    variables = jax.tree.map(lambda x: x, variables)
+    for i in range(3):
+        if f"ccam_{i}" in variables["params"]:
+            variables["params"][f"ccam_{i}"]["scale"] = jnp.full((1,), 0.3)
+
+    def loss(bundle):
+        def f(params):
+            total, _ = bundle.loss({"params": params}, vgg_vars,
+                                   content, style, train=True)
+            return total
+        return jax.value_and_grad(f)(variables["params"])
+
+    (l_std, g_std), (l_fold, g_fold) = loss(b_std), loss(b_fold)
+    np.testing.assert_allclose(float(l_fold), float(l_std), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_fold), jax.tree.leaves(g_std)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
