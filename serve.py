@@ -11,9 +11,8 @@ at a fixed image size, pick the execution strategy by flag:
   * ``--mode folded``  exact bf16 space-to-depth execution,
   * ``--mode standard``the plain model path (any network).
 
-q8 requires the flagship family (plain multi_adain constant stack);
-folded covers multi_adain, sel_multi_adain and ccam (constant stacks);
-other networks fall back to standard automatically.
+q8 and folded cover multi_adain, sel_multi_adain and ccam (plain
+constant stacks); other networks fall back to standard automatically.
 
 ``--mesh N`` serves data-parallel over the first N devices (batch sharded
 on a ``data`` axis; params replicated). Host IO (decode + PNG encode)
@@ -132,7 +131,8 @@ def main():
     style_img = jnp.asarray(styles[0][1])[None]
     scales = None
     if mode == "q8":
-        from rpst.models.fast_path_q8 import (calibrate_multi_adain_q8,
+        from rpst.models.fast_path_q8 import (calibrate_ccam_q8,
+                                              calibrate_multi_adain_q8,
                                               calibrate_sel_multi_adain_q8)
         calib = jnp.asarray(
             np.stack([img for _, img in contents[:args.batch]]))
@@ -140,6 +140,9 @@ def main():
         if bundle.network == "sel_multi_adain":
             scales = calibrate_sel_multi_adain_q8(variables, calib,
                                                   calib_style)
+        elif bundle.network == "ccam":
+            scales = calibrate_ccam_q8(variables, calib, calib_style,
+                                       stylized_layers=cfg.stylized_layers)
         else:
             scales = calibrate_multi_adain_q8(variables["params"], calib,
                                               calib_style)
@@ -148,11 +151,16 @@ def main():
     def _run_impl(params_and_extra, content, style):
         if mode == "q8":
             from rpst.models.fast_path_q8 import (
+                stylize_ccam_folded_q8,
                 stylize_multi_adain_folded_q8,
                 stylize_sel_multi_adain_folded_q8)
             if bundle.network == "sel_multi_adain":
                 return stylize_sel_multi_adain_folded_q8(
                     params_and_extra, scales, content, style)
+            if bundle.network == "ccam":
+                return stylize_ccam_folded_q8(
+                    params_and_extra, scales, content, style,
+                    stylized_layers=cfg.stylized_layers)
             return stylize_multi_adain_folded_q8(
                 params_and_extra["params"], scales, content, style)
         # folded mode routes through bundle.stylize (exec_strategy=folded

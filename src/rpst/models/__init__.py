@@ -84,7 +84,7 @@ class ModelBundle:
 
     def q8_infer(self) -> bool:
         """Families with an int8 PTQ serving path (fast_path_q8.py)."""
-        return (self.network in ("multi_adain", "sel_multi_adain")
+        return (self.network in ("multi_adain", "sel_multi_adain", "ccam")
                 and self._folded_stack_ok())
 
     def _folded_dtype(self):

@@ -312,3 +312,136 @@ def stylize_sel_multi_adain_folded_q8(variables, scales, content, style,
     out = _sel_decode_q8(variables, c_feats, s_feats,
                          dec, act_scales, it, dtype, conv_q)
     return out.astype(content.dtype)
+
+
+# ---------------------------------------------------------------------------
+# ccam int8 serving
+# ---------------------------------------------------------------------------
+
+def _folded_ccam_q8(x_feat, y_feat, scale):
+    """CCAMDec on folded (int8, scale) or float features.
+
+    The position-sum energy is bilinear, so it reduces over int8 directly
+    (int8 MXU einsum) and rescales once: energy = (Σ x_q y_q)·s_x·s_y.
+    The attention recombination dequantizes y per block."""
+    def split(f):
+        if isinstance(f, tuple):
+            q, s = f
+            return q, jnp.float32(s if s is not None else 1.0)
+        return f, jnp.float32(1.0)
+
+    xq, sx = split(x_feat)
+    yq, sy = split(y_feat)
+    n, hh, ww, c4 = xq.shape
+    c = c4 // 4
+    xr = xq.reshape(n, hh * ww, 4, c).reshape(n, -1, c)
+    yr = yq.reshape(n, hh * ww, 4, c).reshape(n, -1, c)
+    acc_t = jnp.int32 if xr.dtype == jnp.int8 and yr.dtype == jnp.int8 \
+        else jnp.float32
+    energy = jnp.einsum("npc,npk->nck", xr, yr,
+                        preferred_element_type=acc_t)
+    energy = energy.astype(jnp.float32) * (sx * sy)
+    energy_new = jnp.max(energy, axis=-1, keepdims=True) - energy
+    attention = jax.nn.softmax(energy_new, axis=-1)
+    out = jnp.einsum("nck,npk->npc", attention,
+                     yr.astype(jnp.float32) * sy)
+    out = out.reshape(n, hh * ww, 4, c).reshape(n, hh, ww, c4)
+    x_deq = xq.astype(jnp.float32) * sx
+    return x_deq + scale * out
+
+
+def _ccam_decode_q8(variables, c_feats, s_feats, dec, stylized_layers,
+                    act_scales, it, dtype, conv_q, collect=None):
+    """CCAMRP decode (adain_rp.py:348-422 semantics) on (int8, scale)
+    encoder features; with ``collect`` records calibration absmax."""
+    params = variables["params"]
+
+    def dec_conv(x, k, b):
+        if _q8_eligible(k):
+            if collect is not None:
+                collect.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+                return _lrelu(folded_conv(x.astype(dtype), k.astype(dtype),
+                                          b.astype(dtype)))
+            s_in = float(act_scales[next(it)])
+            return conv_q(quantize_activations(x.astype(jnp.float32), s_in),
+                          s_in, k, b)
+        return _lrelu(folded_conv(x.astype(dtype), k.astype(dtype),
+                                  b.astype(dtype)))
+
+    from ..ops.folded import folded_calc_mean_std
+    scale = lambda i: params[f"ccam_{i}"]["scale"].astype(jnp.float32)
+
+    stylized = _adain_affine_q8(c_feats[-1], s_feats[-1])
+    att_res = _folded_ccam_q8(c_feats[-1], s_feats[-1], scale(0))
+    k, b = dec[0]
+    stylized = dec_conv(stylized + att_res, k, b)
+    pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+    for i, (_, sf) in enumerate(pairs):
+        k, b = dec[i + 1]
+        if i + 1 < stylized_layers:
+            cm, cstd = folded_calc_mean_std(stylized.astype(jnp.float32))
+            sm, sstd = _folded_stats_q8(sf[0], sf[1])
+            stylized = ((stylized.astype(jnp.float32) - cm) / cstd
+                        * sstd + sm)
+            att_res = _folded_ccam_q8(stylized, sf, scale(i + 1))
+            stylized = dec_conv(stylized + att_res, k, b)
+        else:
+            stylized = dec_conv(stylized, k, b)
+    return unfold(stylized.astype(jnp.float32))
+
+
+def calibrate_ccam_q8(variables, content, style, stylized_layers: int = 5):
+    """Calibration absmax for :func:`stylize_ccam_folded_q8`."""
+    params = variables["params"]["ms"]
+    enc = _folded_blocks(params["rp_shared_encoder"])
+    dec = _folded_blocks(params["rp_decoder"])
+
+    def run(variables, content, style):
+        absmax = []
+        dtype = jnp.float32
+
+        def encode(img):
+            x = fold(img.astype(dtype))
+            feats = []
+            for li, (k, b) in enumerate(enc):
+                x = _lrelu(folded_conv(x, k.astype(dtype), b.astype(dtype)))
+                eligible_next = (li + 1 < len(enc)
+                                 and _q8_eligible(enc[li + 1][0]))
+                if eligible_next or (li == len(enc) - 1
+                                     and _q8_eligible(k)):
+                    absmax.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+                feats.append((x, jnp.float32(1.0)))
+            return feats
+
+        c_feats = encode(content)
+        s_feats = encode(style)
+        _ccam_decode_q8(variables, c_feats, s_feats, dec, stylized_layers,
+                        None, None, dtype, None, collect=absmax)
+        return absmax
+
+    absmax = jax.jit(lambda v, c, s: run(v, c, s))(variables, content, style)
+    scales = np.asarray([max(float(a), 1e-6) / 127.0 for a in absmax],
+                        np.float32)
+    return {"act_scales": scales}
+
+
+def stylize_ccam_folded_q8(variables, scales, content, style,
+                           stylized_layers: int = 5,
+                           dtype=jnp.bfloat16,
+                           block_rows: int = 16,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Int8 PTQ folded serving for CCAMRP: chained int8 encoder, CCAM
+    energies reduced over int8, AdaIN fusions with int8-reduced style
+    statistics."""
+    params = variables["params"]["ms"]
+    enc = _folded_blocks(params["rp_shared_encoder"])
+    dec = _folded_blocks(params["rp_decoder"])
+    act_scales = np.asarray(scales["act_scales"], np.float32)
+    it = iter(range(len(act_scales)))
+    conv_q = _make_conv_q(dtype, block_rows, interpret)
+
+    c_feats = _encode_q8(enc, act_scales, it, content, dtype, conv_q)
+    s_feats = _encode_q8(enc, act_scales, it, style, dtype, conv_q)
+    out = _ccam_decode_q8(variables, c_feats, s_feats, dec, stylized_layers,
+                          act_scales, it, dtype, conv_q)
+    return out.astype(content.dtype)

@@ -102,3 +102,39 @@ def test_q8_sel_multi_adain_quality_vs_f32(rng):
     span = float(ref.max() - ref.min()) or 1.0
     psnr = 10 * np.log10(span * span / max(mse, 1e-12))
     assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_q8_ccam_quality_vs_f32(rng):
+    """Int8 PTQ CCAMRP serving (int8-reduced CCAM energies) stays close
+    to the folded f32 path."""
+    from rpst.models.fast_path import stylize_ccam_folded
+    from rpst.models.fast_path_q8 import (calibrate_ccam_q8,
+                                          stylize_ccam_folded_q8)
+
+    cfg = load_config(dict(network="ccam", enc_stack_way="constant",
+                           rp_blocks=4, hidden_dim=32, img_size=32,
+                           stylized_layers=4))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+    variables = jax.tree.map(lambda x: x, variables)
+    for i in range(4):
+        if f"ccam_{i}" in variables["params"]:
+            variables["params"][f"ccam_{i}"]["scale"] = jnp.full((1,), 0.4)
+
+    ref = np.asarray(stylize_ccam_folded(
+        variables, content, style, stylized_layers=4, dtype=jnp.float32,
+        use_pallas=False))
+    scales = calibrate_ccam_q8(variables, content, style, stylized_layers=4)
+    assert len(scales["act_scales"]) > 0
+    got = np.asarray(stylize_ccam_folded_q8(
+        variables, scales, content, style, stylized_layers=4,
+        dtype=jnp.float32, interpret=True))
+
+    mse = float(np.mean((got - ref) ** 2))
+    span = float(ref.max() - ref.min()) or 1.0
+    psnr = 10 * np.log10(span * span / max(mse, 1e-12))
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
