@@ -224,11 +224,17 @@ class LDAdaINRP(nn.Module):
         # 2N shapes — the same small-batch pathology class as BASELINE.md's
         # adain b1/b4 inversion. Measured on v5e at 512px:
         # ld_adain5 b1 6.4 -> 10.9 img/s, b4 17.2 -> 21.9;
-        # ld_adain  b4 9.3 -> 15.2, b1 neutral (13.0 -> 13.5).
-        n = content.shape[0]
-        feats = self.encode_intermediate(
-            jnp.concatenate([content, style], axis=0), train=train)
-        cf = [f[:n] for f in feats]
-        sf = [f[n:] for f in feats]
+        # ld_adain  b4 9.3 -> 15.2, b1 neutral (13.0 -> 13.4).
+        # v3/v4 measured the OPPOSITE at b4 (42.8 -> 36.6 / 44.8 -> 32.4)
+        # so the batching is gated to the variants where it wins.
+        if self.variant in (1, 5):
+            n = content.shape[0]
+            feats = self.encode_intermediate(
+                jnp.concatenate([content, style], axis=0), train=train)
+            cf = [f[:n] for f in feats]
+            sf = [f[n:] for f in feats]
+        else:
+            cf = self.encode_intermediate(content, train=train)
+            sf = self.encode_intermediate(style, train=train)
         return self.decode(cf, sf, c_labels, s_labels,
                            use_mask=self.use_mask and test_mode, train=train)
