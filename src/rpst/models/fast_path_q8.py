@@ -24,8 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.folded import (fold, fold_bias, fold_conv_kernel, folded_adain,
-                          folded_conv, unfold)
+from ..ops.folded import fold, folded_adain, folded_conv, unfold
 from ..ops.pallas.folded_conv_q8 import (fused_folded_conv_q8,
                                          quantize_activations,
                                          quantize_weights)

@@ -191,6 +191,3 @@ def fused_folded_conv(x_f: jnp.ndarray, folded_kernel: jnp.ndarray,
         interpret=interpret,
     )(x_f, rings, folded_kernel, folded_bias.reshape(1, -1))
 
-
-# Backwards-compatible alias (the Element-halo experiment used this name).
-fused_folded_conv_v2 = fused_folded_conv
