@@ -253,7 +253,8 @@ def main():
                      hidden_dim=32, inception_num=0, attention="none",
                      exec_strategy="folded")
         bench_family("mst", enc_stack_way="constant", rp_blocks=5,
-                     hidden_dim=32, stylized_layers=1)
+                     hidden_dim=32, stylized_layers=1,
+                     exec_strategy="folded")
         bench_family("ld_adain", hidden_dim=16, ld_layer_num=5,
                      stylized_layers=5)
         bench_family("ld_adain2", hidden_dim=8, ld_layer_num=5)

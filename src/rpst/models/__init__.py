@@ -71,15 +71,16 @@ class ModelBundle:
                 and not c.shuffle and not c.sort and not c.use_mask)
 
     def folded_infer(self) -> bool:
-        """Folded execution additionally covers sel_multi_adain and ccam
-        (SE bottleneck — eval running stats or train batch stats — and
-        CCAM residuals fold exactly; fast_path.py), for both stylize and
+        """Folded execution additionally covers sel_multi_adain, ccam and
+        mst (SE bottleneck — eval running stats or train batch stats —
+        CCAM residuals, and the MST transform via a deepest-scale raster
+        round trip all fold exactly; fast_path.py), for both stylize and
         the training loss."""
         if self.folded_exec():
             return True
         c = self.cfg
         return (c.get("exec_strategy", "standard") == "folded"
-                and self.network in ("sel_multi_adain", "ccam")
+                and self.network in ("sel_multi_adain", "ccam", "mst")
                 and self._folded_stack_ok())
 
     def q8_infer(self) -> bool:
@@ -150,6 +151,7 @@ class ModelBundle:
             # dominant loss backward; see rpst/nn/vgg_folded.py)
             from ..nn.vgg_folded import perceptual_rp_losses_folded
             from .fast_path import (stylize_ccam_folded,
+                                    stylize_mst_folded,
                                     stylize_multi_adain_folded,
                                     stylize_sel_multi_adain_folded,
                                     stylize_sel_multi_adain_folded_train)
@@ -171,6 +173,13 @@ class ModelBundle:
                 stylized = stylize_ccam_folded(
                     variables, content, style,
                     stylized_layers=self.cfg.stylized_layers,
+                    dtype=self._folded_dtype(), use_pallas=False)
+            elif self.network == "mst":
+                stylized = stylize_mst_folded(
+                    variables, content, style,
+                    stylized_layers=self.cfg.stylized_layers,
+                    n_clusters=self.cfg.n_clusters,
+                    mst_lambda=self.cfg.mst_lambda,
                     dtype=self._folded_dtype(), use_pallas=False)
             else:
                 stylized = stylize_multi_adain_folded(
@@ -210,6 +219,7 @@ class ModelBundle:
         model = self.model
         if self.folded_infer() and c_labels is None:
             from .fast_path import (stylize_ccam_folded,
+                                    stylize_mst_folded,
                                     stylize_multi_adain_folded,
                                     stylize_sel_multi_adain_folded)
             if self.network == "sel_multi_adain":
@@ -219,6 +229,13 @@ class ModelBundle:
                 return stylize_ccam_folded(
                     variables, content, style,
                     stylized_layers=self.cfg.stylized_layers,
+                    dtype=self._folded_dtype())
+            if self.network == "mst":
+                return stylize_mst_folded(
+                    variables, content, style,
+                    stylized_layers=self.cfg.stylized_layers,
+                    n_clusters=self.cfg.n_clusters,
+                    mst_lambda=self.cfg.mst_lambda,
                     dtype=self._folded_dtype())
             return stylize_multi_adain_folded(
                 variables["params"], content, style,

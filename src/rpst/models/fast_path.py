@@ -230,6 +230,44 @@ def stylize_sel_multi_adain_folded_train(variables, content, style,
     return unfold(stylized).astype(content.dtype), muts
 
 
+def stylize_mst_folded(variables, content, style, stylized_layers: int = 1,
+                       n_clusters: int = 3, mst_lambda: float = 0.0,
+                       dtype=jnp.bfloat16, use_pallas="auto") -> jnp.ndarray:
+    """Folded-domain MSTRP (adain_rp.py:425-448 semantics).
+
+    The k-means/graph-cut transform is chain-order-sensitive, so the
+    fused features are unfolded to raster order just for the transform
+    (one deepest-scale tensor round trip) and refolded; everything else
+    — the 2x encode and the decoder stack — runs folded. Differentiable
+    (the transform detaches its inputs like the reference, so gradients
+    reach only the decoder)."""
+    from ..ops.mst import mst_transfer_batch
+
+    params = variables["params"]
+    c_feats, s_feats, dec = _encode_folded(params["ms"], content, style,
+                                           dtype, use_pallas)
+
+    def mst(cf_f, sf_f):
+        out = mst_transfer_batch(
+            jax.lax.stop_gradient(unfold(cf_f)),
+            jax.lax.stop_gradient(unfold(sf_f)),
+            n_clusters, mst_lambda)
+        return fold(out.astype(dtype))
+
+    stylized = mst(c_feats[-1], s_feats[-1])
+    k, b = dec[0]
+    stylized = _conv_lrelu(stylized, k.astype(dtype), b.astype(dtype),
+                           use_pallas)
+    pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+    for i, (_, sf) in enumerate(pairs):
+        if i + 1 < stylized_layers:
+            stylized = mst(stylized, sf)
+        k, b = dec[i + 1]
+        stylized = _conv_lrelu(stylized, k.astype(dtype), b.astype(dtype),
+                               use_pallas)
+    return unfold(stylized).astype(content.dtype)
+
+
 def _folded_ccam(x_f, y_f, scale):
     """CCAMDec (models/adain_rp.py:167-189) on folded tensors: the
     position sums split exactly over the 4 sub-position blocks, and the

@@ -326,3 +326,50 @@ def test_folded_ccam_loss_and_grads_match(rng):
     for a, b in zip(jax.tree.leaves(g_fold), jax.tree.leaves(g_std)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_folded_mst_stylize_and_loss_match(rng):
+    """MSTRP folded execution (k-means/graph-cut on a raster round trip
+    of the fused scale, convs folded) == the standard path. The discrete
+    transform runs on bit-different-but-equal-up-to-float-noise features,
+    so tolerances allow for borderline cluster assignments."""
+    from rpst.nn.vgg import init_vgg_params
+
+    common = dict(network="mst", enc_stack_way="constant",
+                  rp_blocks=3, hidden_dim=8, img_size=16,
+                  stylized_layers=1, n_clusters=2)
+    b_std = build_model(load_config(dict(common)))
+    b_fold = build_model(load_config(dict(common, exec_strategy="folded")))
+    assert b_fold.folded_infer()
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = b_std.init(key, content, style, vgg_vars)
+    a = np.asarray(b_std.stylize(variables, vgg_vars, content, style))
+    b = np.asarray(b_fold.stylize(variables, vgg_vars, content, style))
+    assert np.abs(b - a).mean() < 1e-4, np.abs(b - a).mean()
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-3)
+
+    def loss(bundle):
+        def f(params):
+            total, _ = bundle.loss({"params": params}, vgg_vars,
+                                   content, style, train=True)
+            return total
+        return jax.value_and_grad(f)(variables["params"])
+
+    (l_std, g_std), (l_fold, g_fold) = loss(b_std), loss(b_fold)
+    np.testing.assert_allclose(float(l_fold), float(l_std), rtol=1e-3)
+    # the transform detaches: encoder grads must be zero on BOTH paths
+    enc_std = jax.tree.leaves(jax.tree.map(
+        lambda g: float(jnp.abs(g).sum()),
+        g_std["ms"]["rp_shared_encoder"]))
+    enc_fold = jax.tree.leaves(jax.tree.map(
+        lambda g: float(jnp.abs(g).sum()),
+        g_fold["ms"]["rp_shared_encoder"]))
+    assert all(g == 0 for g in enc_std)
+    assert all(g == 0 for g in enc_fold)
+    for a_, b_ in zip(jax.tree.leaves(g_fold), jax.tree.leaves(g_std)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=5e-3, atol=1e-4)
