@@ -82,3 +82,70 @@ def mst_transfer_batch(content_feat: jnp.ndarray, style_feat: jnp.ndarray,
     """Batched MST (the reference loops per sample, mst.py:161-177)."""
     return jax.vmap(lambda c, s: mst_transfer(c, s, n_clusters, lam))(
         content_feat, style_feat)
+
+
+def _sym_pow_fullrank(A: jnp.ndarray, power: float) -> jnp.ndarray:
+    """V diag(|e|^power) V^T with NO cutoff/regularization.
+
+    ``labeled_whiten_and_color`` (reference ``utils/mst.py:71-101``) runs
+    torch.svd on the covariance with the eigenvalue cutoff *commented out*
+    (mst.py:73-78, 92-97) and no diagonal regularization — unlike the WCT
+    model path (``ops/wct.py``).  torch.svd of a symmetric matrix returns
+    singular values |e| with matching left/right subspaces, so the
+    reconstruction equals the eigh form on |e|.  A near-singular covariance
+    sends |e|^-0.5 to inf exactly as the reference's SVD path blows up; the
+    caller detects the resulting non-finite output and applies the
+    reference's fallback (mst.py:106-109).
+    """
+    e, v = jnp.linalg.eigh(A)
+    d = jnp.power(jnp.abs(e), power)
+    return (v * d[..., None, :]) @ jnp.swapaxes(v, -1, -2)
+
+
+def labeled_whiten_and_color(f_c: jnp.ndarray, f_s: jnp.ndarray,
+                             alpha: float, label: jnp.ndarray) -> jnp.ndarray:
+    """Per-label WCT — port of reference ``utils/mst.py:62-111`` (dead code
+    in the reference pipeline, kept for inventory parity).
+
+    Args:
+      f_c: (H, W, C) content feature (reference is (C, H, W); NHWC here).
+      f_s: (K, C) style feature rows (the reference passes ``f_s`` whose
+           transpose is (C, K), mst.py:85-86).
+      alpha: blend weight for the colored result (mst.py:105).
+      label: (H, W) or (H, W, 1) binary spatial mask, broadcast over
+             channels like the reference's ``f_c * label``.
+
+    Reference quirks preserved:
+      * the masked content mean divides by H*W, zeros included
+        (``torch.mean(cf, 1)``, mst.py:66) — not by the mask count;
+      * the content covariance is normalized by ``sum(label)/C - 1``
+        (mst.py:70), i.e. (masked-pixel count − 1) for a channel-broadcast
+        mask;
+      * full-rank spectrum, no cutoff (mst.py:73-78);
+      * on numerical failure the unmodified masked content is returned
+        (``except:`` at mst.py:106-109 — here: non-finite detection, the
+        XLA-compatible equivalent of catching the MAGMA convergence error).
+    """
+    if label.ndim == 2:
+        label = label[..., None]
+    h, w, c = f_c.shape
+    label = jnp.broadcast_to(label.astype(f_c.dtype), (h, w, 1))
+    fc_masked = f_c * label  # (H, W, C)
+    cf = fc_masked.reshape(-1, c)  # (HW, C)
+    c_mean = jnp.mean(cf, axis=0)  # mean over ALL pixels incl. zeros
+    cf = (fc_masked - c_mean[None, None, :] * label).reshape(-1, c)
+    n_masked = jnp.sum(label) * c  # == torch.sum(label) for expanded mask
+    c_cov = (cf.T @ cf) / (n_masked / c - 1.0)
+    whitened = _sym_pow_fullrank(c_cov, -0.5) @ cf.T  # (C, HW)
+
+    sf = f_s.T.astype(f_c.dtype)  # (C, K), mst.py:85
+    k = sf.shape[1]
+    s_mean = jnp.mean(sf, axis=1, keepdims=True)
+    sfc = sf - s_mean
+    s_cov = (sfc @ sfc.T) / (k - 1)
+    colored = (_sym_pow_fullrank(s_cov, 0.5) @ whitened).T.reshape(h, w, c)
+    colored = colored + s_mean[:, 0][None, None, :] * label
+    out = alpha * colored + (1.0 - alpha) * fc_masked
+
+    ok = jnp.all(jnp.isfinite(out))
+    return jnp.where(ok, out, fc_masked)

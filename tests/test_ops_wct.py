@@ -99,3 +99,60 @@ def test_wct_fuse_batched_and_detached(rng):
     # gradient is stopped: d(sum(fuse))/d(content) == 0
     g = jax.grad(lambda x: float(0) + wct_fuse(x, s).sum())(c)
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=0)
+
+
+def _torch_labeled_wct(f_c, f_s, alpha, label):
+    """Float64 torch oracle of reference utils/mst.py:62-111 (written from
+    the math: full-rank SVD whiten/color over a spatially masked feature,
+    mean over all pixels incl. zeros, covariance normalized by
+    sum(label)/c - 1)."""
+    f_c = f_c.double()  # (c, h, w)
+    f_s = f_s.double()  # (k, c)
+    label = label.double()  # (c, h, w) expanded mask
+    c, h, w = f_c.shape
+    cf = (f_c * label).reshape(c, -1)
+    c_mean = torch.mean(cf, 1).reshape(c, 1, 1) * label
+    cf = (cf.reshape(c, h, w) - c_mean).reshape(c, -1)
+    c_cov = (cf @ cf.t()) / (label.sum().item() / c - 1)
+    _, c_e, c_v = torch.svd(c_cov)
+    w2 = c_v @ torch.diag(c_e.pow(-0.5)) @ c_v.t()
+    whitened = w2 @ cf
+    sf = f_s.t()
+    k = sf.shape[1]
+    s_mean = torch.mean(sf, 1, keepdim=True)
+    sfc = sf - s_mean
+    s_cov = (sfc @ sfc.t()) / (k - 1)
+    _, s_e, s_v = torch.svd(s_cov)
+    c2 = s_v @ torch.diag(s_e.pow(0.5)) @ s_v.t()
+    colored = (c2 @ whitened).reshape(c, h, w) + s_mean.reshape(c, 1, 1) * label
+    return (alpha * colored + (1 - alpha) * (f_c * label)).numpy()
+
+
+def test_labeled_whiten_and_color_matches_torch(rng):
+    from rpst.ops.mst import labeled_whiten_and_color
+    c_ch, h, w, k = 8, 12, 10, 200
+    f_c = rng.normal(size=(h, w, c_ch)).astype(np.float32) * 2.0 + 0.5
+    f_s = rng.normal(size=(k, c_ch)).astype(np.float32) * 1.5 - 0.2
+    mask = (rng.uniform(size=(h, w)) > 0.4).astype(np.float32)
+    out = np.asarray(labeled_whiten_and_color(f_c, f_s, 0.7, mask))
+    ref = _torch_labeled_wct(
+        torch.from_numpy(f_c).permute(2, 0, 1),
+        torch.from_numpy(f_s),
+        0.7,
+        torch.from_numpy(mask)[None].expand(c_ch, h, w),
+    )
+    np.testing.assert_allclose(out, np.transpose(ref, (1, 2, 0)),
+                               rtol=1e-2, atol=2e-2)
+
+
+def test_labeled_wct_failure_fallback(rng):
+    """A rank-deficient masked covariance blows up |e|^-0.5 exactly like the
+    reference's MAGMA SVD failure; the fallback returns f_c * label
+    (utils/mst.py:106-109)."""
+    from rpst.ops.mst import labeled_whiten_and_color
+    h, w, c = 6, 6, 8
+    f_c = np.zeros((h, w, c), dtype=np.float32)  # zero covariance
+    f_s = rng.normal(size=(50, c)).astype(np.float32)
+    mask = np.ones((h, w), dtype=np.float32)
+    out = np.asarray(labeled_whiten_and_color(f_c, f_s, 1.0, mask))
+    np.testing.assert_allclose(out, f_c * mask[..., None], atol=0)
