@@ -1,0 +1,4 @@
+#!/usr/bin/env bash
+# Launcher for the ld2_multiscale_rp_adain experiment (single host; multi-chip via mesh_shape
+# in the config — no per-device env pinning needed on TPU).
+exec python train.py --config configs/train_ld2_multiscale_rp_adain.yaml "$@"
