@@ -113,6 +113,12 @@ DEFAULTS: Dict[str, Any] = {
     "seed": 0,
     "compute_dtype": "float32",  # 'float32' | 'bfloat16' for conv compute
     "mesh_shape": None,  # e.g. {'data': 8}; None = single device
+    # --- multi-host (one process per host of a slice; SURVEY §2.4
+    # "per-host input feeding") ---
+    "distributed": False,  # call jax.distributed.initialize() before use
+    "coordinator_address": "",  # "" = auto-detect (TPU pod metadata)
+    "num_processes": -1,  # -1 = auto-detect
+    "process_id": -1,  # -1 = auto-detect
     "wct_dtype": "float32",  # reference uses float64 on GPU; TPU default f32
     "wct_method": "closed-form",  # 'closed-form' (Lu, reference default) | 'original' (Li)
     "n_clusters": 3,  # MST k-means cluster count (utils/mst.py:129)

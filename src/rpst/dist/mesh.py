@@ -29,6 +29,37 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def setup_distributed(coordinator_address: str = "", num_processes: int = -1,
+                      process_id: int = -1) -> None:
+    """Join a multi-process (multi-host) run via jax.distributed.
+
+    One process per host of a TPU slice; on TPU pods all three arguments
+    auto-detect from the pod metadata, so call sites can pass the config
+    keys straight through.  Idempotent.  After this returns,
+    ``jax.devices()`` is the GLOBAL device list and meshes built from it
+    span the slice; batches must then enter through ``shard_batch``, which
+    assembles global arrays from per-host data.  (The reference is
+    single-process by construction — SURVEY §2.4.)"""
+    # NB: must not touch jax.process_count()/jax.devices() here — any
+    # backend query initializes XLA and makes initialize() illegal
+    if jax._src.distributed.global_state.client is not None:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes and num_processes > 0:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None and process_id >= 0:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def is_main_process() -> bool:
+    """True on the process that owns host-side writes (checkpoints,
+    metrics, eval dumps) — process 0, or any process in single-host runs."""
+    return jax.process_index() == 0
+
+
 def make_mesh(mesh_shape=None, devices=None) -> Mesh:
     """mesh_shape: dict like {'data': 8} or {'data': 4, 'spatial': 2};
     None uses all devices on the data axis."""
@@ -42,15 +73,47 @@ def make_mesh(mesh_shape=None, devices=None) -> Mesh:
     return Mesh(dev_array, names)
 
 
+def put_tree(tree, shardings):
+    """device_put a pytree with per-leaf (or one broadcast) sharding,
+    multi-process safe.
+
+    Single-process: plain ``jax.device_put``.  Multi-process: device_put
+    cannot target non-addressable devices, so each leaf is assembled with
+    ``jax.make_array_from_callback`` — every process holds the full
+    host-local value (state is computed identically on all processes) and
+    contributes the slices its local devices own.  Works for replicated
+    AND channel-sharded (TP) specs alike."""
+    one = isinstance(shardings, jax.sharding.Sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(x, s):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    if one:
+        return jax.tree.map(lambda x: put(x, shardings), tree)
+    return jax.tree.map(put, tree, shardings)
+
+
 def replicate(tree, mesh: Mesh):
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    return put_tree(tree, NamedSharding(mesh, P()))
 
 
 def shard_batch(batch, mesh: Mesh, spatial: bool = False):
-    """Shard NHWC image batches: N over 'data', optionally H over 'spatial'."""
-    spec = (P("data", "spatial") if spatial and "spatial" in mesh.axis_names
-            else P("data"))
-    return jax.device_put(batch, NamedSharding(mesh, spec))
+    """Shard NHWC image batches: N over 'data', optionally H over 'spatial'.
+
+    Multi-process: each host passes its PER-HOST slice of the batch (fed
+    by the sharded ``InfiniteSampler``) and a global array is assembled
+    across hosts — local data lands on local devices, zero cross-host
+    copies.  Single-process: a plain device_put."""
+    sharding = NamedSharding(
+        mesh, P("data", "spatial") if spatial and "spatial" in mesh.axis_names
+        else P("data"))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(batch))
+    return jax.device_put(batch, sharding)
 
 
 def _tp_leaf_spec(x, tp: int, min_channels: int):
@@ -78,6 +141,17 @@ def tp_shardings(tree, mesh: Mesh, min_channels: int = 32):
     return jax.tree.map(
         lambda x: NamedSharding(mesh, _tp_leaf_spec(x, tp, min_channels)),
         tree)
+
+
+def gather_replicated(tree, mesh: Mesh):
+    """All-gather every sharded leaf so each process holds full values
+    (jit identity with replicated out_shardings).  Needed before host-side
+    checkpoint writes when params are TP-sharded across hosts; in
+    multi-process runs EVERY process must call this together (it executes
+    collectives)."""
+    repl = NamedSharding(mesh, P())
+    shardings = jax.tree.map(lambda _: repl, tree)
+    return jax.jit(lambda t: t, out_shardings=shardings)(tree)
 
 
 def shard_params_tp(tree, mesh: Mesh, min_channels: int = 32):

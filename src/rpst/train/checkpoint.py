@@ -24,14 +24,25 @@ def _ckpt_dir(root, step: int) -> Path:
 
 
 def save_checkpoint(root, state) -> str:
+    """Write one checkpoint directory for ``state``.
+
+    Multi-process: EVERY process must call this (orbax synchronizes
+    internally — a lone caller deadlocks on the sync barrier).  Leaves are
+    passed as global jax.Arrays so each process writes only the shards it
+    owns; this covers replicated, DP, and cross-host TP state without a
+    pre-gather.  Single-process keeps the plain host-numpy write."""
     step = int(state.step)
     path = _ckpt_dir(root, step)
     ckptr = ocp.PyTreeCheckpointer()
-    tree = {"step": step,
-            "params": jax.device_get(state.params),
-            "extra": jax.device_get(state.extra),
-            "opt_state": jax.device_get(state.opt_state),
-            "rng": jax.device_get(state.rng)}
+    if jax.process_count() > 1:
+        tree = {"step": step, "params": state.params, "extra": state.extra,
+                "opt_state": state.opt_state, "rng": state.rng}
+    else:
+        tree = {"step": step,
+                "params": jax.device_get(state.params),
+                "extra": jax.device_get(state.extra),
+                "opt_state": jax.device_get(state.opt_state),
+                "rng": jax.device_get(state.rng)}
     ckptr.save(path, tree, force=True)
     return str(path)
 
@@ -53,7 +64,13 @@ def restore_checkpoint(path, template_state):
                 "extra": jax.device_get(template_state.extra),
                 "opt_state": jax.device_get(template_state.opt_state),
                 "rng": jax.device_get(template_state.rng)}
-    tree = ckptr.restore(Path(path).resolve(), item=template)
+    # force numpy restore: checkpoints written by multi-process runs store
+    # sharded jax.Arrays, which orbax refuses to deserialize without a
+    # concrete sharding unless told to materialize host numpy instead
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template)
+    tree = ckptr.restore(Path(path).resolve(), item=template,
+                         restore_args=restore_args)
     return template_state.replace(
         step=np.asarray(tree["step"], np.int32),
         params=tree["params"], extra=tree["extra"],

@@ -35,8 +35,9 @@ from rpst.train import (MetricWriter, create_train_state, latest_step,
                         make_train_step, restore_checkpoint, save_checkpoint)
 from rpst.train.metrics import logger, save_image, save_image_row
 from rpst.train.step import make_stylize_fn
-from rpst.dist import (make_mesh, make_sharded_train_step, replicate,
-                       shard_batch, tp_shardings)
+from rpst.dist import (is_main_process, make_mesh, make_sharded_train_step,
+                       put_tree, replicate, setup_distributed, shard_batch,
+                       tp_shardings)
 
 
 def main():
@@ -54,10 +55,23 @@ def main():
         overrides[k] = _yaml.safe_load(v)
     cfg = load_config(args.config, overrides)
 
+    # multi-host: join the slice-wide run BEFORE any other jax use (SURVEY
+    # §2.4 "per-host input feeding"). Each host then loads a disjoint shard
+    # of the global batch; process 0 owns all host-side writes.
+    if cfg.distributed:
+        setup_distributed(cfg.coordinator_address, cfg.num_processes,
+                          cfg.process_id)
+    main_proc = is_main_process()
+    n_proc = jax.process_count()
+    assert cfg.batch_size % n_proc == 0, \
+        f"batch_size {cfg.batch_size} not divisible by {n_proc} processes"
+    local_batch = cfg.batch_size // n_proc
+
     output = Path(cfg.output)
-    for sub in ("logs", "checkpoints", "test"):
-        (output / sub).mkdir(exist_ok=True, parents=True)
-    writer = MetricWriter(output)
+    if main_proc:
+        for sub in ("logs", "checkpoints", "test"):
+            (output / sub).mkdir(exist_ok=True, parents=True)
+    writer = MetricWriter(output) if main_proc else None
 
     bundle = build_model(cfg)
     if cfg.vgg and Path(cfg.vgg).exists():
@@ -86,10 +100,17 @@ def main():
         style_ds = ImageFolderDataset(cfg.style_dir, cfg.img_size, fmt="*")
     assert len(content_ds) > 0, f"no content images in {cfg.content_dir}"
     assert len(style_ds) > 0, f"no style images in {cfg.style_dir}"
-    content_iter = InfiniteLoader(content_ds, cfg.batch_size,
-                                  cfg.num_workers, seed=cfg.seed)
-    style_iter = InfiniteLoader(style_ds, cfg.batch_size, cfg.num_workers,
-                                seed=cfg.seed + 1)
+    # per-host feeding: every process draws a disjoint strided shard of the
+    # SAME shuffled stream (seeds match across hosts), so the union of the
+    # per-host batches equals the single-host stream
+    content_iter = InfiniteLoader(content_ds, local_batch,
+                                  cfg.num_workers, seed=cfg.seed,
+                                  shard_index=jax.process_index(),
+                                  shard_count=n_proc)
+    style_iter = InfiniteLoader(style_ds, local_batch, cfg.num_workers,
+                                seed=cfg.seed + 1,
+                                shard_index=jax.process_index(),
+                                shard_count=n_proc)
     test_ds = build_test_dataset(cfg) if cfg.test_dir else None
 
     # --- state ------------------------------------------------------------
@@ -113,13 +134,15 @@ def main():
             logger.warning(f"resume requested but no checkpoint at {ckpt}")
 
     mesh, spatial = None, False
-    if cfg.mesh_shape:
+    if cfg.mesh_shape or n_proc > 1:
+        # multi-process always runs under a global mesh (default: pure DP
+        # over every chip of the slice)
         mesh = make_mesh(cfg.mesh_shape)
         spatial = "spatial" in mesh.axis_names
         if "model" in mesh.axis_names:
             # tensor parallelism: params + Adam moments channel-sharded
             state_sharding = tp_shardings(state, mesh)
-            state = jax.device_put(state, state_sharding)
+            state = put_tree(state, state_sharding)
         else:
             state_sharding = None
             state = replicate(state, mesh)
@@ -177,7 +200,7 @@ def main():
             else:
                 state, loss_dict = train_step(state, vgg_vars, content, style)
 
-            if i % cfg.log_iter == 0:
+            if i % cfg.log_iter == 0 and main_proc:
                 loss_dict = jax.device_get(loss_dict)
                 writer.write(begin + i, loss_dict)
                 elapsed = round(time.time() - start, 2)
@@ -186,21 +209,39 @@ def main():
                 logger.info(f"Iterations {begin + i}, "
                             f"elapsed time: {elapsed}{loss_str}")
 
-            if test_ds is not None and i % cfg.test_iter == 0:
+            if test_ds is not None and i % cfg.test_iter == 0 and main_proc:
                 run_test_dump(begin + i)
 
+            # preemption: multi-process runs must AGREE on checkpoint/stop
+            # iterations (saving is collective), so the local SIGTERM flag
+            # is synchronized at log_iter boundaries
+            stop_now = stop.requested
+            if n_proc > 1:
+                if i % cfg.log_iter == 0:
+                    from jax.experimental import multihost_utils
+                    stop_now = bool(multihost_utils.process_allgather(
+                        np.asarray(stop.requested, np.int32)).max())
+                else:
+                    stop_now = False
+
             if (i % cfg.snapshot_save_iter == 0 or (i + 1) == cfg.max_iter
-                    or stop.requested):
+                    or stop_now):
+                # collective in multi-process: every process calls save
+                # (orbax writes each shard from the host that owns it and
+                # synchronizes internally)
                 path = save_checkpoint(output / "checkpoints", state)
-                logger.info(f"Saved checkpoint {path}")
-            if stop.requested:
-                logger.info("Preemption signal received — checkpointed, "
-                            "exiting cleanly")
+                if main_proc:
+                    logger.info(f"Saved checkpoint {path}")
+            if stop_now:
+                if main_proc:
+                    logger.info("Preemption signal received — checkpointed, "
+                                "exiting cleanly")
                 break
 
     content_iter.close()
     style_iter.close()
-    writer.close()
+    if writer is not None:
+        writer.close()
 
 
 if __name__ == "__main__":
