@@ -179,7 +179,9 @@ def test_reference_checkpoint_import_roundtrip(rng, tmp_path):
                str(src))
     mod.convert(str(src), str(dst))
     with open(dst, "rb") as f:
-        params = pickle.load(f)
+        tree = pickle.load(f)
+    assert tree["kind"] == "rpseq"
+    params = tree["params"]
 
     from rpst.nn.blocks import RPSequence
     x = rng.random((1, 8, 8, 3)).astype(np.float32)
