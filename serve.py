@@ -15,9 +15,12 @@ q8 and folded cover multi_adain, sel_multi_adain and ccam (plain
 constant stacks); other networks fall back to standard automatically.
 
 ``--mesh N`` serves data-parallel over the first N devices (batch sharded
-on a ``data`` axis; params replicated). Host IO (decode + PNG encode)
-overlaps device compute via async dispatch: batch t+1 is decoded and
-dispatched before batch t's outputs are fetched.
+on a ``data`` axis; params replicated); ``--mesh data=2,spatial=2`` adds
+image-ROW sharding so a single high-resolution request spans several
+chips (XLA derives the stride-1 conv halo exchanges from the sharding
+annotations — same machinery as training's spatial axis, dist/mesh.py).
+Host IO (decode + PNG encode) overlaps device compute via async dispatch:
+batch t+1 is decoded and dispatched before batch t's outputs are fetched.
 
 Usage:
   python serve.py --config cfg.yaml --content in/ --style style.png \
@@ -60,8 +63,12 @@ def main():
     parser.add_argument("--mode", default="folded",
                         choices=["standard", "folded", "q8"])
     parser.add_argument("--batch", type=int, default=8)
-    parser.add_argument("--mesh", type=int, default=1,
-                        help="serve data-parallel over the first N devices")
+    parser.add_argument("--mesh", type=str, default="1",
+                        help="device mesh: N (data-parallel over N devices) "
+                        "or axis=size pairs like 'data=2,spatial=2' — a "
+                        "'spatial' axis shards image ROWS so one high-res "
+                        "image can use several chips (XLA inserts the "
+                        "stride-1 conv halo exchanges from the shardings)")
     parser.add_argument("--set", nargs="*", default=[])
     args = parser.parse_args()
     overrides = {}
@@ -104,24 +111,43 @@ def main():
                        "falling back to standard")
         mode = "standard"
 
+    if args.mesh.isdigit():
+        mesh_shape = {"data": int(args.mesh)}
+    else:
+        mesh_shape = {k: int(v) for k, v in
+                      (kv.split("=", 1) for kv in args.mesh.split(","))}
+        assert set(mesh_shape) <= {"data", "spatial"}, mesh_shape
+        mesh_shape.setdefault("data", 1)
+    n_mesh_dev = 1
+    for s in mesh_shape.values():
+        n_mesh_dev *= s
+    data_par = mesh_shape.get("data", 1)
+    spatial_par = mesh_shape.get("spatial", 1)
+
     mesh = None
-    if args.mesh > 1 and mode == "q8":
+    if n_mesh_dev > 1 and mode == "q8":
         # the int8 path runs hand-written Pallas kernels, which the SPMD
         # partitioner can't split across a mesh; folded XLA partitions fine
         logger.warning("--mesh with --mode q8 is unsupported (Pallas "
                        "kernels don't partition); using folded bf16")
         mode = "folded"
-    if args.mesh > 1:
+    if n_mesh_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
         from rpst.dist import make_mesh
-        devices = jax.devices()[:args.mesh]
-        assert len(devices) == args.mesh, (
-            f"--mesh {args.mesh} but only {len(jax.devices())} devices")
-        assert args.batch % args.mesh == 0, "--batch must divide by --mesh"
-        mesh = make_mesh({"data": args.mesh}, devices)
+        devices = jax.devices()[:n_mesh_dev]
+        assert len(devices) == n_mesh_dev, (
+            f"--mesh {args.mesh} needs {n_mesh_dev} devices but only "
+            f"{len(jax.devices())} exist")
+        assert args.batch % data_par == 0, "--batch must divide by data axis"
+        if spatial_par > 1:
+            assert cfg.img_size % spatial_par == 0, \
+                "img_size must divide by the spatial axis"
+        mesh = make_mesh(mesh_shape, devices)
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
         vgg_vars = jax.device_put(vgg_vars, NamedSharding(mesh, P()))
-        logger.info(f"Serving data-parallel over {args.mesh} devices")
+        logger.info(f"Serving over mesh {mesh_shape} "
+                    f"({'rows sharded, ' if spatial_par > 1 else ''}"
+                    f"batch sharded {data_par}-way)")
 
     contents = _load_images(Path(args.content), cfg.img_size)
     styles = _load_images(Path(args.style), cfg.img_size)
@@ -169,11 +195,12 @@ def main():
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        img_spec = P("data", "spatial") if spatial_par > 1 else P("data")
         run = jax.jit(_run_impl,
                       in_shardings=(NamedSharding(mesh, P()),
-                                    NamedSharding(mesh, P("data")),
-                                    NamedSharding(mesh, P("data"))),
-                      out_shardings=NamedSharding(mesh, P("data")))
+                                    NamedSharding(mesh, img_spec),
+                                    NamedSharding(mesh, img_spec)),
+                      out_shardings=NamedSharding(mesh, img_spec))
     else:
         run = jax.jit(_run_impl)
 
@@ -182,8 +209,8 @@ def main():
         mesh-sharded jit sees one static shape."""
         batch = np.stack([img for _, img in chunk])
         pad = 0
-        if mesh is not None and len(chunk) % args.mesh:
-            pad = args.mesh - len(chunk) % args.mesh
+        if mesh is not None and len(chunk) % data_par:
+            pad = data_par - len(chunk) % data_par
             batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
         b = jnp.asarray(batch)
         return run(variables, b, jnp.broadcast_to(style_img, b.shape)), pad

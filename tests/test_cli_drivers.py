@@ -146,3 +146,29 @@ def test_serve_cli_mesh(trained, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     outs = list(dst.glob("*.png"))
     assert len(outs) == 3, outs
+
+
+def test_serve_cli_spatial_mesh(trained, tmp_path):
+    """Spatial serving: image ROWS sharded over a {data:1, spatial:2} mesh
+    (the single-high-res-image multi-chip path), pixel-identical to the
+    single-device outputs."""
+    cfg, out = trained
+    data_dir = Path(str(cfg)).parent / "data"
+    single, spatial = tmp_path / "single", tmp_path / "spatial"
+    common = ["--config", str(cfg),
+              "--content", str(data_dir / "content"),
+              "--style", str(data_dir / "style" / "00.png"),
+              "--mode", "standard", "--batch", "1"]
+    r = _run("serve.py", *common, "--out", str(single))
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run("serve.py", *common, "--out", str(spatial),
+             "--mesh", "data=1,spatial=2",
+             env_extra={"XLA_FLAGS":
+                        "--xla_force_host_platform_device_count=2"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    singles = sorted(single.glob("*.png"))
+    spatials = sorted(spatial.glob("*.png"))
+    assert [p.name for p in singles] == [p.name for p in spatials] != []
+    for a, b in zip(singles, spatials):
+        ia, ib = np.asarray(Image.open(a)), np.asarray(Image.open(b))
+        assert np.abs(ia.astype(int) - ib.astype(int)).max() <= 1, a.name
