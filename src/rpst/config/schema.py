@@ -132,6 +132,11 @@ DEFAULTS: Dict[str, Any] = {
     # 0 = dense (HW, HW) MRF affinity; >0 = streamed row chunks of that
     # size (O(chunk*HW) memory — for >512px inputs)
     "mrf_chunk": 0,
+    # route the folded TRAINING forward/backward through the fused Pallas
+    # conv kernel pair (custom VJP) instead of the XLA ring path.
+    # Measured (512px, v5e): wins at every batch — b1 28.4->31.7,
+    # b4 36.8->42.0, b8 60.1->60.6 img/s — so it defaults on.
+    "folded_train_pallas": True,
 }
 
 

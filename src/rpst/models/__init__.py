@@ -184,7 +184,8 @@ class ModelBundle:
             else:
                 stylized = stylize_multi_adain_folded(
                     variables["params"], content, style,
-                    dtype=self._folded_dtype(), use_pallas=False)
+                    dtype=self._folded_dtype(),
+                    use_pallas=self.cfg.get("folded_train_pallas", False))
             parts, _ = perceptual_rp_losses_folded(
                 vgg_vars, stylized, style, content,
                 self.cfg.content_weight, self.cfg.style_weight,

@@ -24,7 +24,7 @@ from ..ops.folded import (fold, fold_bias, fold_conv1x1_kernel,
                           fold_conv_kernel, folded_adain,
                           folded_channel_affine, folded_channel_pool,
                           folded_conv, folded_zero_conv, unfold)
-from ..ops.pallas.folded_conv import fused_folded_conv
+from ..ops.pallas.folded_conv import folded_conv_lrelu
 
 
 def _lrelu(x):
@@ -37,6 +37,10 @@ def _conv_lrelu(x, k, b, use_pallas):
     The fused Pallas kernel (pad ring built in VMEM, one HBM read + one
     write per layer) requires the folded channel count to fill whole
     128-wide lane tiles; other widths fall back to the XLA ring path.
+    The Pallas branch is differentiable — ``folded_conv_lrelu`` carries a
+    custom VJP running the backward Pallas kernel pair (input-grad via
+    rotated-kernel conv + ring transpose; weight-grad via folded
+    correlation), hardware-verified in tools/hw_kernel_check.py.
     ``use_pallas='auto'`` picks the measured winner: the fused kernel at
     small batch (latency: 243 vs 203 img/s b1 at 512px) and at high
     resolution (1024px b4: 87.5 vs 25.8 img/s — the XLA ring pad copies
@@ -46,7 +50,7 @@ def _conv_lrelu(x, k, b, use_pallas):
         use_pallas = x.shape[0] <= 2 or x.shape[2] >= 512
     if (use_pallas and k.shape[2] % 128 == 0 and k.shape[3] % 128 == 0
             and jax.default_backend() != "cpu"):
-        return fused_folded_conv(x, k, b)
+        return folded_conv_lrelu(x, k, b)
     return _lrelu(folded_conv(x, k, b))
 
 

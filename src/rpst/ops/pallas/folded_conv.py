@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
-                 C4: int):
+                 C4: int, alpha: float = 0.2):
     C = C4 // 4
     BR = block_rows
     total = N * num_blocks
@@ -124,7 +124,7 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
                     preferred_element_type=jnp.float32)
 
         y = acc + b_ref[0].astype(jnp.float32)
-        y = jnp.where(y >= 0, y, 0.2 * y)
+        y = jnp.where(y >= 0, y, alpha * y)
         o_ref[0] = y.reshape(BR, W, c4o).astype(o_ref.dtype)
 
     return kernel
@@ -147,9 +147,384 @@ def _shrink_block_rows(h, w, c4, c4o, isz, block_rows, out_isz=None):
     return max(block_rows, 1)
 
 
+def _make_bwd_input_kernel(block_rows: int, num_blocks: int, N: int, H: int,
+                           W: int, C4: int):
+    """dL/dx of the fused reflect-pad folded conv (no bias/activation —
+    the lrelu mask is applied by the caller).
+
+    Interior: SAME-zero conv of gz with the rotated/transposed kernel
+    ``khat[r, c] = Kf[2-r, 2-c]^T``.  The reflect-pad transpose then adds
+    the ring gradients back onto the interior cells they were read from
+    (``ops.folded.folded_reflect_pad`` structure):
+
+      * ring COLUMNS (every block): G[:,  -1] = 1-col conv of gz col 0
+        with khat[:, 2]; scatter onto cols 1 (sub-col-0 blocks) and 0
+        (sub-col-1 blocks); mirrored on the right;
+      * ring ROWS (first/last block): G[-1, :] = 1-row conv of gz row 0
+        with khat[2, :] (incl. its corner col entries); scatter onto rows
+        1 (sub-row-0 blocks) and 0 (sub-row-1 blocks); mirrored at the
+        bottom.
+
+    All corrections are value-domain adds gated by scalar ``jnp.where`` —
+    no stores into the DMA scratch (see module history)."""
+    BR = block_rows
+    total = N * num_blocks
+
+    def kernel(gz_hbm, k_ref, o_ref, scratch, sem):
+        n = pl.program_id(0)
+        i = pl.program_id(1)
+        t = n * num_blocks + i
+
+        def slab_dma(slot, n2, i2, action):
+            r0 = i2 * BR
+
+            def cp(src_row, dst_row, rows):
+                c = pltpu.make_async_copy(
+                    gz_hbm.at[n2, pl.ds(src_row, rows)],
+                    scratch.at[slot, pl.ds(dst_row, rows)],
+                    sem.at[slot])
+                c.start() if action == "start" else c.wait()
+
+            if num_blocks == 1:
+                cp(0, 1, BR)
+                return
+
+            @pl.when(i2 == 0)
+            def _():
+                cp(0, 1, BR + 1)
+
+            @pl.when(i2 == num_blocks - 1)
+            def _():
+                cp(r0 - 1, 0, BR + 1)
+
+            @pl.when(jnp.logical_and(i2 > 0, i2 < num_blocks - 1))
+            def _():
+                cp(r0 - 1, 0, BR + 2)
+
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t == 0)
+        def _():
+            slab_dma(0, 0, 0, "start")
+
+        n_next = n + (i + 1) // num_blocks
+        i_next = jax.lax.rem(i + 1, num_blocks)
+
+        @pl.when(t + 1 < total)
+        def _():
+            slab_dma(jax.lax.rem(t + 1, 2), n_next, i_next, "start")
+
+        slab_dma(slot, n, i, "wait")
+
+        slab = scratch[slot]  # (BR+2, W, C4o); boundary halo rows unset
+        c4o = slab.shape[-1]
+        C = C4 // 4
+
+        # zero halo splice (G is a zero-padded full conv of gz)
+        row = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1, 1), 0)
+        zero = jnp.zeros_like(slab)
+        slab = jnp.where(jnp.logical_and(i == 0, row == 0), zero, slab)
+        slab = jnp.where(jnp.logical_and(i == num_blocks - 1, row == BR + 1),
+                         zero, slab)
+
+        zcol = jnp.zeros_like(slab[:, :1])
+        gz_m1 = jnp.concatenate([zcol, slab[:, :W - 1]], axis=1)
+        gz_p1 = jnp.concatenate([slab[:, 1:], zcol], axis=1)
+
+        # interior: 9-tap SAME-zero conv with khat
+        acc = jnp.zeros((BR * W, C4), jnp.float32)
+        for dc, sl in ((0, gz_m1), (1, slab), (2, gz_p1)):
+            for dr in range(3):
+                window = sl[dr:dr + BR]
+                acc += jax.lax.dot_general(
+                    window.reshape(BR * W, c4o), k_ref[dr, dc],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        acc = acc.reshape(BR, W, C4)
+
+        # channel-block masks over the OUTPUT (C4) lanes
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C4), 2)
+        blk = (lane // C) % 4
+        blk_sj0 = (blk % 2) == 0   # sub-col-0 blocks {0, 2}
+        blk_sj1 = jnp.logical_not(blk_sj0)
+        blk_si0 = (blk // 2) == 0  # sub-row-0 blocks {0, 1}
+        blk_si1 = jnp.logical_not(blk_si0)
+
+        # --- ring-column transpose (every block, rows a = i+1) ---
+        colL = jnp.zeros((BR, C4), jnp.float32)
+        colR = jnp.zeros((BR, C4), jnp.float32)
+        for dr in range(3):
+            win = slab[dr:dr + BR]
+            colL += jax.lax.dot_general(
+                win[:, 0], k_ref[dr, 2], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            colR += jax.lax.dot_general(
+                win[:, W - 1], k_ref[dr, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+        acc = acc + jnp.where((col == 1) & blk_sj0, colL[:, None, :], 0.0)
+        acc = acc + jnp.where((col == 0) & blk_sj1, colL[:, None, :], 0.0)
+        acc = acc + jnp.where((col == W - 1) & blk_sj0, colR[:, None, :], 0.0)
+        acc = acc + jnp.where((col == W - 2) & blk_sj1, colR[:, None, :], 0.0)
+
+        # --- ring-row transpose (first/last block) ---
+        def ring_row(gz_row, krow):
+            """(W+2)-wide 1-row conv of one gz row folded back to width W
+            with its own corner-column scatter; returns (W, C4) f32."""
+            g_m1 = jnp.concatenate([jnp.zeros_like(gz_row[:1]),
+                                    gz_row[:W - 1]], axis=0)
+            g_p1 = jnp.concatenate([gz_row[1:],
+                                    jnp.zeros_like(gz_row[:1])], axis=0)
+            mid = jnp.zeros((W, C4), jnp.float32)
+            for dc, g in ((0, g_m1), (1, gz_row), (2, g_p1)):
+                mid += jax.lax.dot_general(
+                    g, k_ref[krow, dc], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            corner0 = jax.lax.dot_general(
+                gz_row[0:1], k_ref[krow, 2], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            cornerW = jax.lax.dot_general(
+                gz_row[W - 1:W], k_ref[krow, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m2 = blk_sj0[0], blk_sj1[0]  # (1, C4) masks
+            colv = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+            mid = mid + jnp.where((colv == 1) & m2[0], corner0, 0.0)
+            mid = mid + jnp.where((colv == 0) & m2[1], corner0, 0.0)
+            mid = mid + jnp.where((colv == W - 1) & m2[0], cornerW, 0.0)
+            mid = mid + jnp.where((colv == W - 2) & m2[1], cornerW, 0.0)
+            return mid
+
+        # top: G[-1] from gz row 0 (slab row 1 on the first block)
+        top_ring = ring_row(slab[1], 2)[None]  # (1, W, C4)
+        rloc = jax.lax.broadcasted_iota(jnp.int32, (BR, 1, 1), 0)
+        first = i == 0
+        acc = acc + jnp.where(first & (rloc == 1) & blk_si0, top_ring, 0.0)
+        acc = acc + jnp.where(first & (rloc == 0) & blk_si1, top_ring, 0.0)
+        # bottom: G[H] from gz row H-1 (slab row BR on the last block)
+        bot_ring = ring_row(slab[BR], 0)[None]
+        last = i == num_blocks - 1
+        acc = acc + jnp.where(last & (rloc == BR - 1) & blk_si0,
+                              bot_ring, 0.0)
+        acc = acc + jnp.where(last & (rloc == BR - 2) & blk_si1,
+                              bot_ring, 0.0)
+
+        o_ref[0] = acc.astype(o_ref.dtype)
+
+    return kernel
+
+
+def fused_folded_conv_grad_input(gz: jnp.ndarray, khat: jnp.ndarray,
+                                 block_rows: int = 16,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """dL/dx_f for ``fused_folded_conv`` given gz = dL/d(pre-activation).
+
+    gz: (N, H, W, 4Co); khat: (3, 3, 4Co, 4C) =
+    ``transpose(kf[::-1, ::-1], (0, 1, 3, 2))``. Returns (N, H, W, 4C)."""
+    n, h, w, c4o = gz.shape
+    c4 = khat.shape[-1]
+    block_rows = _shrink_block_rows(h, w, c4o, c4, gz.dtype.itemsize,
+                                    block_rows)
+    num_blocks = h // block_rows
+    kernel = _make_bwd_input_kernel(block_rows, num_blocks, n, h, w, c4)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, num_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # gz stays in HBM
+            pl.BlockSpec((3, 3, c4o, c4), lambda n_, i_: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, w, c4),
+                               lambda n_, i_: (n_, i_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c4), gz.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_rows + 2, w, c4o), gz.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(gz, khat)
+
+
+def _make_bwd_weight_kernel(block_rows: int, num_blocks: int, N: int, H: int,
+                            W: int, C4: int):
+    """dL/dKf and dL/db: the folded correlation.  Reuses the forward's
+    ring-spliced slab structure for x (identical windows = Px), pairing
+    each of the 9 taps with the gz block via a transposed MXU matmul
+    accumulated into a single revisited (3, 3, 4C, 4Co) f32 output."""
+    C = C4 // 4
+    BR = block_rows
+    total = N * num_blocks
+
+    def kernel(x_hbm, rings_ref, gz_ref, dk_ref, db_ref, scratch, sem):
+        n = pl.program_id(0)
+        i = pl.program_id(1)
+        t = n * num_blocks + i
+
+        def slab_dma(slot, n2, i2, action):
+            r0 = i2 * BR
+
+            def cp(src_row, dst_row, rows):
+                c = pltpu.make_async_copy(
+                    x_hbm.at[n2, pl.ds(src_row, rows)],
+                    scratch.at[slot, pl.ds(dst_row, rows)],
+                    sem.at[slot])
+                c.start() if action == "start" else c.wait()
+
+            if num_blocks == 1:
+                cp(0, 1, BR)
+                return
+
+            @pl.when(i2 == 0)
+            def _():
+                cp(0, 1, BR + 1)
+
+            @pl.when(i2 == num_blocks - 1)
+            def _():
+                cp(r0 - 1, 0, BR + 1)
+
+            @pl.when(jnp.logical_and(i2 > 0, i2 < num_blocks - 1))
+            def _():
+                cp(r0 - 1, 0, BR + 2)
+
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t == 0)
+        def _():
+            slab_dma(0, 0, 0, "start")
+            dk_ref[...] = jnp.zeros_like(dk_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        n_next = n + (i + 1) // num_blocks
+        i_next = jax.lax.rem(i + 1, num_blocks)
+
+        @pl.when(t + 1 < total)
+        def _():
+            slab_dma(jax.lax.rem(t + 1, 2), n_next, i_next, "start")
+
+        slab_dma(slot, n, i, "wait")
+
+        slab = scratch[slot]  # (BR+2, W, C4)
+
+        # ring splice — identical to the forward kernel
+        row = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1, 1), 0)
+        top = jnp.where(jnp.logical_and(i == 0, row == 0),
+                        rings_ref[0, 0][None], slab)
+        slab = jnp.where(jnp.logical_and(i == num_blocks - 1, row == BR + 1),
+                         rings_ref[0, 1][None], top)
+
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1, C4), 2)
+        subcol0 = ((lane1 // C) % 2) == 0
+        left_ring = jnp.where(subcol0, slab[:, 1:2], slab[:, 0:1])
+        x_m1 = jnp.concatenate([left_ring, slab[:, :W - 1]], axis=1)
+        right_ring = jnp.where(subcol0, slab[:, W - 1:W], slab[:, W - 2:W - 1])
+        x_p1 = jnp.concatenate([slab[:, 1:], right_ring], axis=1)
+
+        gz = gz_ref[0].reshape(BR * W, -1)  # (BR*W, C4o)
+        for dc, sl in ((0, x_m1), (1, slab), (2, x_p1)):
+            for dr in range(3):
+                window = sl[dr:dr + BR].reshape(BR * W, C4)
+                dk_ref[dr, dc] += jax.lax.dot_general(
+                    window, gz, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        db_ref[...] += jnp.sum(gz.astype(jnp.float32), axis=0, keepdims=True)
+
+    return kernel
+
+
+def fused_folded_conv_grad_weight(x_f: jnp.ndarray, gz: jnp.ndarray,
+                                  block_rows: int = 16,
+                                  interpret: bool = False):
+    """(dL/dKf (3,3,4C,4Co) f32, dL/db (4Co,) f32) for the fused conv."""
+    from ..folded import _row_ring
+
+    n, h, w, c4 = x_f.shape
+    c4o = gz.shape[-1]
+    block_rows = _shrink_block_rows(h, w, c4, c4o, x_f.dtype.itemsize,
+                                    block_rows)
+    num_blocks = h // block_rows
+    rings = jnp.concatenate([_row_ring(x_f, True), _row_ring(x_f, False)],
+                            axis=1)
+    kernel = _make_bwd_weight_kernel(block_rows, num_blocks, n, h, w, c4)
+    dk, db = pl.pallas_call(
+        kernel,
+        grid=(n, num_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((1, 2, w, c4), lambda n_, i_: (n_, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows, w, c4o),
+                         lambda n_, i_: (n_, i_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, 3, c4, c4o), lambda n_, i_: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c4o), lambda n_, i_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((3, 3, c4, c4o), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c4o), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_rows + 2, w, c4), x_f.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(x_f, rings, gz)
+    return dk, db[0]
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def folded_conv_act(alpha, x_f, folded_kernel, folded_bias):
+    """Differentiable fused reflect-pad + folded conv + bias + leaky-relu
+    (``alpha`` = negative slope; 0.0 gives plain ReLU for the VGG path).
+
+    Forward is ``fused_folded_conv``; backward runs the Pallas kernel
+    pair above (one HBM read + one write per tensor per direction —
+    the XLA ring path materializes a padded copy each way).  The
+    activation mask is recovered from the saved OUTPUT (leaky-relu with
+    slope >= 0 is sign-preserving; for alpha == 0 the masked-off lanes
+    are exactly zero and g*alpha kills them either way), so residuals
+    are just (x, kernel, y)."""
+    return fused_folded_conv(x_f, folded_kernel, folded_bias, alpha=alpha)
+
+
+def _folded_conv_act_fwd(alpha, x_f, folded_kernel, folded_bias):
+    y = fused_folded_conv(x_f, folded_kernel, folded_bias, alpha=alpha)
+    return y, (x_f, folded_kernel, y)
+
+
+def _folded_conv_act_bwd(alpha, res, g):
+    x_f, kf, y = res
+    gz = jnp.where(y > 0, g, g * alpha)  # one fused XLA elementwise pass
+    khat = jnp.transpose(kf[::-1, ::-1], (0, 1, 3, 2))
+    dx = fused_folded_conv_grad_input(gz, khat)
+    dk, db = fused_folded_conv_grad_weight(x_f, gz)
+    return dx, dk.astype(kf.dtype), db.astype(kf.dtype)
+
+
+folded_conv_act.defvjp(_folded_conv_act_fwd, _folded_conv_act_bwd)
+
+
+def folded_conv_lrelu(x_f, folded_kernel, folded_bias):
+    return folded_conv_act(0.2, x_f, folded_kernel, folded_bias)
+
+
+def folded_conv_relu(x_f, folded_kernel, folded_bias):
+    return folded_conv_act(0.0, x_f, folded_kernel, folded_bias)
+
+
 def fused_folded_conv(x_f: jnp.ndarray, folded_kernel: jnp.ndarray,
                       folded_bias: jnp.ndarray, block_rows: int = 16,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      alpha: float = 0.2) -> jnp.ndarray:
     """lrelu(folded_reflect_conv(x_f) + bias) for NHWC folded tensors.
 
     x_f: (N, H, W, 4C); folded_kernel: (3, 3, 4C, 4Co) (see
@@ -165,7 +540,7 @@ def fused_folded_conv(x_f: jnp.ndarray, folded_kernel: jnp.ndarray,
 
     rings = jnp.concatenate([_row_ring(x_f, True), _row_ring(x_f, False)],
                             axis=1)  # (N, 2, W, C4)
-    kernel = _make_kernel(block_rows, num_blocks, n, h, w, c4)
+    kernel = _make_kernel(block_rows, num_blocks, n, h, w, c4, alpha)
     return pl.pallas_call(
         kernel,
         grid=(n, num_blocks),

@@ -373,3 +373,70 @@ def test_folded_mst_stylize_and_loss_match(rng):
     for a_, b_ in zip(jax.tree.leaves(g_fold), jax.tree.leaves(g_std)):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=5e-3, atol=1e-4)
+
+
+def test_fused_folded_conv_vjp_interpret(rng):
+    """Custom-VJP backward kernel pair (interpret mode) == XLA autodiff of
+    the ring path: dx from the rotated-kernel SAME conv + ring-transpose
+    corrections, dk/db from the folded correlation kernel."""
+    import rpst.ops.pallas.folded_conv as fc
+    from rpst.ops.folded import folded_conv
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, 0.2 * v)
+
+    for n, h, w, c in ((2, 16, 16, 32), (1, 8, 16, 32), (1, 32, 16, 32)):
+        x = jnp.asarray(rng.normal(size=(n, h, w, 4 * c)).astype(np.float32))
+        k0 = jnp.asarray(rng.normal(size=(3, 3, c, c)).astype(np.float32)
+                         * 0.1)
+        b0 = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+        kf, bf = fold_conv_kernel(k0), fold_bias(b0)
+        g = jnp.asarray(rng.normal(size=(n, h, w, 4 * c)).astype(np.float32))
+
+        rx, rk, rb = jax.grad(
+            lambda x, kf, bf: jnp.sum(lrelu(folded_conv(x, kf, bf)) * g),
+            argnums=(0, 1, 2))(x, kf, bf)
+
+        y = fc.fused_folded_conv(x, kf, bf, interpret=True)
+        gz = jnp.where(y >= 0, g, 0.2 * g)
+        khat = jnp.transpose(kf[::-1, ::-1], (0, 1, 3, 2))
+        dx = fc.fused_folded_conv_grad_input(gz, khat, interpret=True)
+        dk, db = fc.fused_folded_conv_grad_weight(x, gz, interpret=True)
+
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(rx),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rk),
+                                   rtol=1e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(db), np.asarray(rb),
+                                   rtol=1e-4, atol=2e-3)
+
+
+def test_fused_folded_conv_vjp_rect_channels(rng):
+    """Backward kernels with C_in != C_out (wider decoder layers)."""
+    import rpst.ops.pallas.folded_conv as fc
+    from rpst.ops.folded import folded_conv
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, 0.2 * v)
+
+    n, h, w, ci, co = 1, 16, 16, 32, 64
+    x = jnp.asarray(rng.normal(size=(n, h, w, 4 * ci)).astype(np.float32))
+    k0 = jnp.asarray(rng.normal(size=(3, 3, ci, co)).astype(np.float32) * 0.1)
+    b0 = jnp.asarray(rng.normal(size=(co,)).astype(np.float32) * 0.1)
+    kf, bf = fold_conv_kernel(k0), fold_bias(b0)
+    g = jnp.asarray(rng.normal(size=(n, h, w, 4 * co)).astype(np.float32))
+
+    rx, rk, rb = jax.grad(
+        lambda x, kf, bf: jnp.sum(lrelu(folded_conv(x, kf, bf)) * g),
+        argnums=(0, 1, 2))(x, kf, bf)
+    y = fc.fused_folded_conv(x, kf, bf, interpret=True)
+    gz = jnp.where(y >= 0, g, 0.2 * g)
+    khat = jnp.transpose(kf[::-1, ::-1], (0, 1, 3, 2))
+    dx = fc.fused_folded_conv_grad_input(gz, khat, interpret=True)
+    dk, db = fc.fused_folded_conv_grad_weight(x, gz, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rx), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=1e-4,
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(rb), rtol=1e-4,
+                               atol=2e-3)

@@ -60,6 +60,33 @@ def main():
         # bf16 matmul accumulation reassociation: ~1e-1 on O(20) values
         check(f"fused_folded_conv bf16 b{bs} h{h}", got, ref, atol=0.25)
 
+    # folded-conv backward kernel pair vs XLA autodiff of the ring path
+    from rpst.ops.pallas.folded_conv import folded_conv_lrelu
+
+    for bs, h in ((1, 256), (2, 64), (1, 32)):
+        xf32 = jnp.asarray(rng.normal(size=(bs, h, 256, 4 * C))
+                           .astype(np.float32))
+        g32 = jnp.asarray(rng.normal(size=(bs, h, 256, 4 * C))
+                          .astype(np.float32))
+
+        def loss_ref(x, kf, bf):
+            return jnp.sum(ring_ref(x, kf, bf).astype(jnp.float32) * g32)
+
+        def loss_fused(x, kf, bf):
+            return jnp.sum(folded_conv_lrelu(x, kf, bf)
+                           .astype(jnp.float32) * g32)
+
+        x16 = xf32.astype(jnp.bfloat16)
+        r = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(x16, kf, bf)
+        f = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(x16, kf, bf)
+        # dk/db sum over N*H*W bf16 products — compare relative to scale
+        for nm, a, b_, tol in (("dx", f[0], r[0], 0.25),
+                               ("dk", f[1], r[1],
+                                0.005 * float(jnp.abs(r[1]).max())),
+                               ("db", f[2], r[2],
+                                0.005 * float(jnp.abs(r[2]).max()))):
+            check(f"folded_conv_lrelu bwd {nm} b{bs} h{h}", a, b_, atol=tol)
+
     # int8 kernel vs emulated integer reference
     w_q, w_scale = quantize_weights(kf_f32)
     x_scale = 0.02
