@@ -266,6 +266,7 @@ def main():
         bench_family("mrf")
         bench_family("spade")
         bench_family("seg_adain")
+        bench_family("dynamic_sanet", batches=(1,), img=1024)
         bench_family("multi_adain", batches=(1, 4), img=1024,
                      enc_stack_way="constant", rp_blocks=5, hidden_dim=32,
                      inception_num=0, attention="none",

@@ -137,6 +137,11 @@ DEFAULTS: Dict[str, Any] = {
     # Measured (512px, v5e): wins at every batch — b1 28.4->31.7,
     # b4 36.8->42.0, b8 60.1->60.6 img/s — so it defaults on.
     "folded_train_pallas": True,
+    # dynamic_sanet adaptive-attention execution: 'never' = dense
+    # (HWc, HWs) parity path, 'always' = streamed blockwise path
+    # (O(HW·C) memory — required beyond 512px), 'auto' = blockwise on
+    # TPU for HW >= 1024 rows (see rpst.ops.adaptive_attention)
+    "adaptive_blockwise": "auto",
 }
 
 
@@ -189,6 +194,9 @@ def _validate(cfg: Dict[str, Any]) -> None:
         raise ValueError(f"unknown enc_stack_way {cfg['enc_stack_way']!r}")
     if cfg["ada_module"] not in ("aea", "relu"):
         raise ValueError(f"unknown ada_module {cfg['ada_module']!r}")
+    if cfg["adaptive_blockwise"] not in ("auto", "always", "never"):
+        raise ValueError(
+            f"unknown adaptive_blockwise {cfg['adaptive_blockwise']!r}")
     if cfg["attention"] not in ("none", "se", "sk", False, None):
         raise ValueError(f"unknown attention {cfg['attention']!r}")
 

@@ -319,7 +319,9 @@ def build_model(cfg: Config) -> ModelBundle:
         model = SAModel(adaptive=False, img_size=cfg.img_size, **common)
     elif n == "dynamic_sanet":
         model = SAModel(adaptive=True, img_size=cfg.img_size,
-                        ada_module=cfg.ada_module, **common)
+                        ada_module=cfg.ada_module,
+                        blockwise=cfg.get("adaptive_blockwise", "auto"),
+                        **common)
     elif n == "seg_adain":
         model = SegAdaINRP(rp_blocks=cfg.rp_blocks, hidden_dim=cfg.hidden_dim,
                            class_num=cfg.class_num,

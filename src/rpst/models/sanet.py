@@ -34,7 +34,7 @@ from ..ops.stats import mean_variance_norm
 from .base import mse, normalized_content_loss, style_stat_loss
 
 
-def _linear(features, name):
+def _linear(features, name=None):
     def bias_init(key, shape, dtype=jnp.float32):
         return jnp.zeros(shape, dtype)
     return nn.Dense(features,
@@ -79,32 +79,71 @@ class SANetAttention(nn.Module):
         return O + content
 
 
-class AEAModule(nn.Module):
-    """Adaptive threshold MLP over affinity rows (sanet.py:26-46)."""
+class _AEABase(nn.Module):
+    """Shared psi0/psi1 threshold MLP with two evaluation routes.
+
+    The dense route (``__call__``) consumes whole (N, HWc, HWs) affinity
+    rows, as the reference does.  ``thresholds_factorized`` exploits that
+    psi0 is linear over a row that is itself linear in the style factor
+    (``A[p, q] = ĉ_p·ŝ_q``), so ``psi0(A) = ĉ @ (ŝᵀ W0) + b0`` — the
+    affinity matrix never materializes (see ``ops/adaptive_attention``).
+    Both routes share the SAME Dense submodules: the factorized route
+    feeds psi0 the (N, C, HWs) transposed style factor, whose last dim
+    equals the dense route's, so the (HWs, HWs/16) kernel is created
+    identically by either route and the param tree never changes.
+    """
     inplanes: int  # = HW of the style side (spatial_dims)
+
+    def setup(self):
+        self.psi0 = _linear(self.inplanes // 16)
+        self.psi1 = _linear(1)
+
+    def _squash(self, z):
+        raise NotImplementedError
+
+    def thresholds(self, x):
+        """Per-query clamp from dense affinity rows x: (N, HWc, HWs)."""
+        h = nn.leaky_relu(self.psi0(x), 0.2)
+        return self._squash(self.psi1(h))  # (N, HWc, 1)
+
+    def thresholds_factorized(self, cn, sn):
+        """Per-query clamp without the (HWc, HWs) affinity.
+
+        cn: (N, HWc, C), sn: (N, HWs, C) — channel-L2-normalized content
+        and style features (the ``cal_affinity_matrix`` factors).  psi0's
+        bias is recovered with a zero probe so it is added once after the
+        content contraction rather than once per style position."""
+        b0 = self.psi0(jnp.zeros((1, sn.shape[-2]), sn.dtype))  # (1, K)
+        m = self.psi0(jnp.swapaxes(sn, -1, -2)) - b0            # (N, C, K)
+        h = nn.leaky_relu(
+            jnp.einsum("npc,nck->npk", cn, m) + b0, 0.2)
+        return self._squash(self.psi1(h))  # (N, HWc, 1)
+
+
+class AEAModule(_AEABase):
+    """Adaptive threshold MLP over affinity rows (sanet.py:26-46)."""
     scale_value: float = 50.0
     from_value: float = 0.4
     value_interval: float = 0.5
 
-    @nn.compact
+    def _squash(self, z):
+        return nn.sigmoid(z) * self.value_interval + self.from_value
+
     def __call__(self, x, f_x):
         # x: (N, HWc, HWs) affinity; f_x: (N, HWc, HWs) softmaxed attention
-        n, hw, c = x.shape
-        h = nn.leaky_relu(_linear(self.inplanes // 16, "psi0")(x), 0.2)
-        clamp = nn.sigmoid(_linear(1, "psi1")(h))  # (N, HWc, 1)
-        clamp = clamp * self.value_interval + self.from_value
+        clamp = self.thresholds(x)
         clamp_fx = nn.sigmoid(self.scale_value * (f_x - clamp))
         return clamp_fx, clamp
 
 
-class AEALReluModule(nn.Module):
+class AEALReluModule(_AEABase):
     """tanh + relu + softmax threshold variant (sanet.py:49-71)."""
-    inplanes: int
 
-    @nn.compact
+    def _squash(self, z):
+        return (jnp.tanh(z) + 1.0) / 2.0
+
     def __call__(self, x, f_x):
-        h = nn.leaky_relu(_linear(self.inplanes // 16, "psi0")(x), 0.2)
-        clamp = (jnp.tanh(_linear(1, "psi1")(h)) + 1.0) / 2.0
+        clamp = self.thresholds(x)
         clamp_fx = jax.nn.softmax(nn.relu(f_x - clamp), axis=-1)
         return clamp_fx, clamp
 
@@ -113,28 +152,65 @@ class AdaptiveSANetAttention(nn.Module):
     """SANet + learned attention threshold (sanet.py:100-138).
 
     Returns (output, aux) where aux carries the threshold/attention maps
-    the reference stashes on the module for visualization."""
+    the reference stashes on the module for visualization.
+
+    ``blockwise`` selects the O(HW·C)-memory streamed path
+    (``ops/adaptive_attention``): "never" = dense parity path, "always" =
+    streamed, "auto" = streamed on TPU for HW ≥ 1024 rows.  The streamed
+    path cannot return the dense claim maps (they are exactly what it
+    avoids materializing), so ``force_dense=True`` (used by
+    ``stylize_with_aux`` for visualization) overrides it."""
     in_planes: int
     spatial_dims: int
     ada_module: str = "aea"
+    blockwise: str = "auto"
     dtype: Any = None
 
+    def _use_blockwise(self, hw_c: int, hw_s: int) -> bool:
+        if self.blockwise == "always":
+            return True
+        if self.blockwise == "never":
+            return False
+        return (jax.default_backend() == "tpu"
+                and min(hw_c, hw_s) >= 1024)
+
     @nn.compact
-    def __call__(self, content, style):
+    def __call__(self, content, style, force_dense: bool = False):
+        from ..ops.adaptive_attention import adaptive_reweighted_attention
         F = _conv1x1(self.in_planes, "f")(mean_variance_norm(content))
         G = _conv1x1(self.in_planes, "g")(mean_variance_norm(style))
         H = _conv1x1(self.in_planes, "h")(style)
-        affinity = cal_affinity_matrix(content, style)  # (N, HWc, HWs)
         n, hc, wc, c = F.shape
         _, hs, ws, _ = G.shape
         Fm = F.reshape(n, hc * wc, c)
         Gm = G.reshape(n, hs * ws, c)
         Hm = H.reshape(n, hs * ws, c)
-        S = jax.nn.softmax(jnp.einsum("npc,nqc->npq", Fm, Gm), axis=-1)
-        claim_before = S
         att_mod = (AEAModule(self.spatial_dims, name="aea")
                    if self.ada_module == "aea"
                    else AEALReluModule(self.spatial_dims, name="aea"))
+
+        if self._use_blockwise(hc * wc, hs * ws) and not force_dense:
+            # channel-L2-normalized affinity factors (cal_affinity_matrix
+            # semantics, network/sanet.py:12-18) — never materialized
+            cf = content.reshape(n, hc * wc, -1)
+            sf = style.reshape(n, hs * ws, -1)
+            cn = cf / jnp.maximum(
+                jnp.linalg.norm(cf, axis=2, keepdims=True), 1e-12)
+            sn = sf / jnp.maximum(
+                jnp.linalg.norm(sf, axis=2, keepdims=True), 1e-12)
+            clamp = att_mod.thresholds_factorized(cn, sn)
+            variant = "aea" if self.ada_module == "aea" else "aea_lrelu"
+            scale = getattr(att_mod, "scale_value", 50.0)
+            O = adaptive_reweighted_attention(Fm, Gm, Hm, clamp,
+                                              variant=variant,
+                                              scale_value=scale)
+            O = O.reshape(n, hc, wc, c)
+            O = _conv1x1(self.in_planes, "out_conv")(O) + content
+            return O, {"claim_value": clamp}
+
+        affinity = cal_affinity_matrix(content, style)  # (N, HWc, HWs)
+        S = jax.nn.softmax(jnp.einsum("npc,nqc->npq", Fm, Gm), axis=-1)
+        claim_before = S
         S, claim_value = att_mod(affinity, S)
         O = jnp.einsum("npq,nqc->npc", S, Hm).reshape(n, hc, wc, c)
         O = _conv1x1(self.in_planes, "out_conv")(O) + content
@@ -162,16 +238,17 @@ class AdaptiveTransform(nn.Module):
     relu4_1_dims: int = 4096
     relu5_1_dims: int = 1024
     ada_module: str = "aea"
+    blockwise: str = "auto"
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, c4, s4, c5, s5):
+    def __call__(self, c4, s4, c5, s5, force_dense: bool = False):
         a4, aux4 = AdaptiveSANetAttention(
             self.in_planes, self.relu4_1_dims, self.ada_module,
-            name="sanet4_1")(c4, s4)
+            self.blockwise, name="sanet4_1")(c4, s4, force_dense)
         a5, aux5 = AdaptiveSANetAttention(
             self.in_planes, self.relu5_1_dims, self.ada_module,
-            name="sanet5_1")(c5, s5)
+            self.blockwise, name="sanet5_1")(c5, s5, force_dense)
         merged = a4 + upsample_nearest_2x(a5)
         out = PadConv(self.in_planes, 3, 1, 1, "reflect",
                       name="merge_conv")(merged)
@@ -183,6 +260,7 @@ class SAModel(nn.Module):
     adaptive: bool = False
     img_size: int = 512
     ada_module: str = "aea"
+    blockwise: str = "auto"
     dtype: Any = None
 
     def setup(self):
@@ -191,7 +269,8 @@ class SAModel(nn.Module):
                 in_planes=512,
                 relu4_1_dims=(self.img_size // 2 ** 3) ** 2,
                 relu5_1_dims=(self.img_size // 2 ** 4) ** 2,
-                ada_module=self.ada_module, dtype=self.dtype)
+                ada_module=self.ada_module, blockwise=self.blockwise,
+                dtype=self.dtype)
         else:
             self.transform = Transform(in_planes=512, dtype=self.dtype)
         self.decoder = VGGMirrorDecoder(dtype=self.dtype)
@@ -209,11 +288,14 @@ class SAModel(nn.Module):
 
     def stylize_with_aux(self, content_feats, style_feats):
         """Stylize and return the adaptive claim maps for visualization
-        (the reference dumps them in test(), sanet.py:334-366)."""
+        (the reference dumps them in test(), sanet.py:334-366).  Forces
+        the dense attention path — the claim maps ARE the dense
+        matrices the blockwise path avoids materializing."""
         if not self.adaptive:
             return self.stylize_from_feats(content_feats, style_feats), {}
         fusion, aux = self.transform(content_feats[3], style_feats[3],
-                                     content_feats[4], style_feats[4])
+                                     content_feats[4], style_feats[4],
+                                     force_dense=True)
         return self.decoder(fusion), aux
 
     def __call__(self, content_feats, style_feats):
