@@ -273,22 +273,37 @@ def stylize_mst_folded(variables, content, style, stylized_layers: int = 1,
 
 
 def _folded_ccam(x_f, y_f, scale):
-    """CCAMDec (models/adain_rp.py:167-189) on folded tensors: the
-    position sums split exactly over the 4 sub-position blocks, and the
-    attention recombination is per-block. Inputs are detached exactly as
-    the reference does — only ``scale`` receives gradient through the
+    """CCAMDec (models/adain_rp.py:167-189) on folded tensors.
+
+    The position sums split exactly over the 4 sub-position blocks, so
+    ``energy[c, k] = Σ_s E4C[s·C+c, s·C+k]`` where ``E4C = x_fᵀ·y_f`` is
+    the full folded-lane cross-product — ONE (4C, HW)·(HW, 4C) MXU
+    matmul at full 128-lane width instead of the (C, P)·(P, C) einsum
+    whose C=32-wide output runs the MXU at 1/4 lane utilization (the
+    extra off-diagonal FLOPs are free: the stage is bandwidth-bound).
+    The recombination is the same trick transposed: scattering
+    ``attention`` onto a block-diagonal ``kron(I4, att)`` turns the
+    per-sub-block (P, C)·(C, C) products into one full-width
+    (HW, 4C)·(4C, 4C) matmul.  Inputs are detached exactly as the
+    reference does — only ``scale`` receives gradient through the
     attention residual."""
     x_f = jax.lax.stop_gradient(x_f)
     y_f = jax.lax.stop_gradient(y_f)
     n, hh, ww, c4 = x_f.shape
     c = c4 // 4
-    xr = x_f.reshape(n, hh * ww, 4, c).reshape(n, -1, c)
-    yr = y_f.reshape(n, hh * ww, 4, c).reshape(n, -1, c)
-    energy = jnp.einsum("npc,npk->nck", xr, yr)
+    xr = x_f.reshape(n, hh * ww, c4)
+    yr = y_f.reshape(n, hh * ww, c4)
+    e4 = jnp.einsum("npa,npb->nab", xr, yr,
+                    preferred_element_type=jnp.float32)  # (N, 4C, 4C)
+    blocks = e4.reshape(n, 4, c, 4, c)
+    energy = (blocks[:, 0, :, 0] + blocks[:, 1, :, 1]
+              + blocks[:, 2, :, 2] + blocks[:, 3, :, 3])  # (N, C, C)
     energy_new = jnp.max(energy, axis=-1, keepdims=True) - energy
     attention = jax.nn.softmax(energy_new, axis=-1)
-    out = jnp.einsum("nck,npk->npc", attention, yr)
-    out = out.reshape(n, hh * ww, 4, c).reshape(n, hh, ww, c4)
+    att4 = jnp.einsum("st,nck->nsctk", jnp.eye(4, dtype=attention.dtype),
+                      attention).reshape(n, c4, c4)  # kron(I4, att)
+    out = jnp.einsum("npk,nck->npc", yr, att4.astype(yr.dtype))
+    out = out.reshape(n, hh, ww, c4)
     return x_f + scale * out
 
 
