@@ -178,6 +178,58 @@ def bench_family(network: str, batches=(1, 4), img=IMG, **cfg_over):
                 f"{type(e).__name__}: {str(e)[:120]}")
 
 
+def bench_adain_q8(batches=(1, 4), img=IMG):
+    """adain int8 PTQ serving (standard-layout wide-channel Pallas
+    kernel, fast_path_q8.stylize_adain_q8) — stderr only."""
+    from functools import partial
+    from rpst.config import load_config
+    from rpst.models import build_model
+    from rpst.models.fast_path_q8 import (calibrate_adain_q8,
+                                          stylize_adain_q8)
+
+    cfg = load_config(dict(network="adain", rp_blocks=5, hidden_dim=32,
+                           img_size=img, compute_dtype="bfloat16"))
+    bundle = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    base = FAMILY_BASELINE_IMG_PER_S.get("adain")
+    for batch in batches:
+        content = jnp.asarray(np.random.default_rng(0).random(
+            (batch, img, img, 3), np.float32))
+        style = jnp.asarray(np.random.default_rng(1).random(
+            (batch, img, img, 3), np.float32))
+        variables = jax.jit(partial(bundle.model.init, train=False))(
+            rng, content, style)
+        params = variables["params"]
+        scales = calibrate_adain_q8(params, content, style)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def run_n(params, content, style, n):
+            def body(i, carry):
+                c, acc = carry
+                c = c.at[0, 0, 0, 0].add(1e-12 * i)
+                out = stylize_adain_q8(params, scales, c, style)
+                return (c, acc + jnp.mean(out))
+
+            _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
+            return acc
+
+        iters = 10
+        try:
+            float(run_n(params, content, style, iters))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run_n(params, content, style, iters))
+                best = min(best, time.perf_counter() - t0)
+            per = best / iters
+            vs = f", vs_baseline {batch/per/base:.2f}x" if base else ""
+            log(f"[all] adain-q8 {img}px batch={batch}: "
+                f"{batch/per:.2f} img/s ({per*1e3:.1f} ms/pass){vs}")
+        except Exception as e:
+            log(f"[all] adain-q8 {img}px batch={batch}: "
+                f"{type(e).__name__}: {str(e)[:120]}")
+
+
 def bench_train(exec_strategy: str, batch: int, iters: int = 10,
                 repeats: int = 3):
     """Full train-step throughput (stderr): loss + 3xVGG + grads + Adam."""
@@ -246,6 +298,7 @@ def main():
         bench_family("sanet")
         bench_family("dynamic_sanet")
         bench_family("adain", rp_blocks=5, hidden_dim=32)
+        bench_adain_q8()
         bench_family("sel_multi_adain", enc_stack_way="constant",
                      rp_blocks=5, hidden_dim=32, inception_num=0,
                      attention="none", exec_strategy="folded")

@@ -12,7 +12,9 @@ at a fixed image size, pick the execution strategy by flag:
   * ``--mode standard``the plain model path (any network).
 
 q8 and folded cover multi_adain, sel_multi_adain and ccam (plain
-constant stacks); other networks fall back to standard automatically.
+constant stacks); q8 additionally covers adain (wide-channel
+standard-layout int8 kernel); other networks fall back to standard
+automatically.
 
 ``--mesh N`` serves data-parallel over the first N devices (batch sharded
 on a ``data`` axis; params replicated); ``--mesh data=2,spatial=2`` adds
@@ -106,9 +108,9 @@ def main():
     mode = args.mode
     fast_ok = bundle.q8_infer() if mode == "q8" else bundle.folded_infer()
     if mode in ("folded", "q8") and not fast_ok:
-        logger.warning(f"--mode {mode} supports multi_adain/sel_multi_adain "
-                       "(q8, folded) and ccam (folded) constant stacks; "
-                       "falling back to standard")
+        logger.warning(f"--mode {mode} supports multi_adain/sel_multi_adain"
+                       "/ccam constant stacks (q8, folded) and adain "
+                       "(q8); falling back to standard")
         mode = "standard"
 
     if args.mesh.isdigit():
@@ -157,7 +159,8 @@ def main():
     style_img = jnp.asarray(styles[0][1])[None]
     scales = None
     if mode == "q8":
-        from rpst.models.fast_path_q8 import (calibrate_ccam_q8,
+        from rpst.models.fast_path_q8 import (calibrate_adain_q8,
+                                              calibrate_ccam_q8,
                                               calibrate_multi_adain_q8,
                                               calibrate_sel_multi_adain_q8)
         calib = jnp.asarray(
@@ -169,6 +172,9 @@ def main():
         elif bundle.network == "ccam":
             scales = calibrate_ccam_q8(variables, calib, calib_style,
                                        stylized_layers=cfg.stylized_layers)
+        elif bundle.network == "adain":
+            scales = calibrate_adain_q8(variables["params"], calib,
+                                        calib_style)
         else:
             scales = calibrate_multi_adain_q8(variables["params"], calib,
                                               calib_style)
@@ -177,6 +183,7 @@ def main():
     def _run_impl(params_and_extra, content, style):
         if mode == "q8":
             from rpst.models.fast_path_q8 import (
+                stylize_adain_q8,
                 stylize_ccam_folded_q8,
                 stylize_multi_adain_folded_q8,
                 stylize_sel_multi_adain_folded_q8)
@@ -187,6 +194,9 @@ def main():
                 return stylize_ccam_folded_q8(
                     params_and_extra, scales, content, style,
                     stylized_layers=cfg.stylized_layers)
+            if bundle.network == "adain":
+                return stylize_adain_q8(params_and_extra["params"],
+                                        scales, content, style)
             return stylize_multi_adain_folded_q8(
                 params_and_extra["params"], scales, content, style)
         # folded mode routes through bundle.stylize (exec_strategy=folded

@@ -333,18 +333,23 @@ def _folded_ccam_q8(x_feat, y_feat, scale):
     yq, sy = split(y_feat)
     n, hh, ww, c4 = xq.shape
     c = c4 // 4
-    xr = xq.reshape(n, hh * ww, 4, c).reshape(n, -1, c)
-    yr = yq.reshape(n, hh * ww, 4, c).reshape(n, -1, c)
+    # full folded-lane cross-product + diagonal-block sum, as in
+    # fast_path._folded_ccam — one 4C-wide MXU matmul instead of the
+    # C=32-wide einsum at 1/4 lane utilization
+    xr = xq.reshape(n, hh * ww, c4)
+    yr = yq.reshape(n, hh * ww, c4)
     acc_t = jnp.int32 if xr.dtype == jnp.int8 and yr.dtype == jnp.int8 \
         else jnp.float32
-    energy = jnp.einsum("npc,npk->nck", xr, yr,
-                        preferred_element_type=acc_t)
-    energy = energy.astype(jnp.float32) * (sx * sy)
+    e4 = jnp.einsum("npa,npb->nab", xr, yr, preferred_element_type=acc_t)
+    blocks = e4.astype(jnp.float32).reshape(n, 4, c, 4, c)
+    energy = (blocks[:, 0, :, 0] + blocks[:, 1, :, 1]
+              + blocks[:, 2, :, 2] + blocks[:, 3, :, 3]) * (sx * sy)
     energy_new = jnp.max(energy, axis=-1, keepdims=True) - energy
     attention = jax.nn.softmax(energy_new, axis=-1)
-    out = jnp.einsum("nck,npk->npc", attention,
-                     yr.astype(jnp.float32) * sy)
-    out = out.reshape(n, hh * ww, 4, c).reshape(n, hh, ww, c4)
+    att4 = jnp.einsum("st,nck->nsctk", jnp.eye(4, dtype=attention.dtype),
+                      attention).reshape(n, c4, c4)  # kron(I4, att)
+    out = jnp.einsum("npk,nck->npc", yr.astype(jnp.float32) * sy, att4)
+    out = out.reshape(n, hh, ww, c4)
     x_deq = xq.astype(jnp.float32) * sx
     return x_deq + scale * out
 
@@ -444,3 +449,169 @@ def stylize_ccam_folded_q8(variables, scales, content, style,
     out = _ccam_decode_q8(variables, c_feats, s_feats, dec, stylized_layers,
                           act_scales, it, dtype, conv_q)
     return out.astype(content.dtype)
+
+
+# ---------------------------------------------------------------------------
+# adain (AdaINRP) int8 serving: standard-layout wide-channel Pallas conv
+# ---------------------------------------------------------------------------
+# The adain family (reference network/adain_rp.py:15-138 with the
+# increasing stack, base.py:363-379) runs full-resolution zero-pad convs
+# whose widths double up to 512 channels — MXU-compute-bound, so folding
+# would quadruple the MACs for nothing.  Instead the lane-aligned layers
+# (C and Co multiples of 128 — 93%+ of the stack's FLOPs at hidden 32)
+# run through the standard-layout int8 kernel (ops/pallas/conv2d_q8,
+# pad_mode="zero", relu), chained int8->int8; the narrow boundary layers
+# stay bf16 XLA.  AdaIN statistics reduce over the int8 deepest features
+# and rescale (the style signal is computed in f32 — only conv I/O is
+# quantized).  Both images encode in one 2N pass (exact: plain convs),
+# which also makes the calibrated scales content/style-shared.
+
+
+def _rp_sequence_convs(params, name):
+    sub = params[name]
+    return [(sub[f"conv_{i}"]["Conv_0"]["kernel"],
+             sub[f"conv_{i}"]["Conv_0"]["bias"])
+            for i in range(len(sub))]
+
+
+def _same_conv_relu(x, k, b, dtype):
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b.astype(dtype)
+    return jnp.maximum(y, 0)
+
+
+def _stats_q8(q, scale, eps: float = 1e-5):
+    """Standard-layout instance mean/std over an int8 tensor with a
+    per-tensor scale (mean/std are linear in the scale — reduce over
+    int8 directly, half the read bytes, rescale once)."""
+    n, h, w, c = q.shape
+    m = h * w
+    v = q.astype(jnp.float32)
+    s1 = jnp.sum(v, axis=(1, 2))
+    s2 = jnp.sum(v * v, axis=(1, 2))
+    mean = s1 / float(m) * scale
+    var = (s2 / float(max(m - 1, 1))
+           - s1 * s1 / (float(m) * float(max(m - 1, 1)))) * scale * scale
+    std = jnp.sqrt(jnp.maximum(var, 0.0) + eps)
+    return mean[:, None, None, :], std[:, None, None, :]
+
+
+def _make_conv_q_std(dtype, block_rows: int, interpret: bool):
+    """Standard-layout int8 conv closure (zero pad + relu — the
+    RPSequence block, nn/blocks.py:RPSequence)."""
+    from ..ops.pallas.conv2d_q8 import fused_conv2d_q8
+
+    def conv_q(x_q, x_scale, k, b, out_scale=None):
+        w_q, w_scale = quantize_weights(k.astype(jnp.float32))
+        srow0 = x_scale * w_scale
+        srow1 = b.astype(jnp.float32)
+        if out_scale is None:
+            sc = jnp.stack([srow0, srow1, jnp.zeros_like(srow0)])
+            return fused_conv2d_q8(x_q, w_q, sc, out_int8=False,
+                                   alpha=0.0, pad_mode="zero",
+                                   block_rows=block_rows,
+                                   interpret=interpret).astype(dtype)
+        srow2 = jnp.broadcast_to(jnp.float32(1.0 / out_scale), srow0.shape)
+        sc = jnp.stack([srow0, srow1, srow2])
+        return fused_conv2d_q8(x_q, w_q, sc, out_int8=True,
+                               alpha=0.0, pad_mode="zero",
+                               block_rows=block_rows, interpret=interpret)
+
+    return conv_q
+
+
+def _forward_collect_adain(params, content, style, dtype=jnp.bfloat16):
+    """bf16 forward recording calibration absmaxes in exactly the order
+    ``stylize_adain_q8`` consumes them: encoder (2N pass) layer outputs
+    feeding eligible layers / eligible outputs, then each quantized
+    decoder input/output."""
+    enc = _rp_sequence_convs(params, "encoder")
+    dec = _rp_sequence_convs(params, "decoder")
+    absmax: List[jnp.ndarray] = []
+    n = content.shape[0]
+
+    x = jnp.concatenate([content, style], axis=0).astype(dtype)
+    for li, (k, b) in enumerate(enc):
+        x = _same_conv_relu(x, k, b, dtype)
+        nxt_eligible = (li + 1 < len(enc) and _q8_eligible(enc[li + 1][0]))
+        if nxt_eligible or (li == len(enc) - 1 and _q8_eligible(k)):
+            absmax.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    cf, sf = x[:n], x[n:]
+
+    from ..ops.stats import adaptive_instance_normalization as adain
+    x = adain(cf, sf).astype(dtype)
+    for li, (k, b) in enumerate(dec):
+        if _q8_eligible(k):
+            absmax.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        x = _same_conv_relu(x, k, b, dtype)
+    return x, absmax
+
+
+def calibrate_adain_q8(params, content, style) -> Dict[str, np.ndarray]:
+    """One calibration pass -> per-tensor symmetric input scales for
+    :func:`stylize_adain_q8` (absmax / 127 over representative batches)."""
+    absmax = jax.jit(lambda p, c, s: _forward_collect_adain(p, c, s)[1])(
+        params, content, style)
+    scales = np.asarray([max(float(a), 1e-6) / 127.0 for a in absmax],
+                        np.float32)
+    return {"act_scales": scales}
+
+
+def stylize_adain_q8(params, scales, content, style,
+                     dtype=jnp.bfloat16, block_rows: int = 16,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Int8 PTQ AdaINRP serving (reference adain_rp.py:15-138 semantics:
+    encode both images, one AdaIN fusion at the deepest feature, decode).
+
+    Wide lane-aligned layers run the standard-layout int8 Pallas kernel
+    chained int8->int8; narrow boundary layers run bf16 XLA SAME convs;
+    AdaIN statistics reduce over the int8 deepest features."""
+    enc = _rp_sequence_convs(params, "encoder")
+    dec = _rp_sequence_convs(params, "decoder")
+    act_scales = np.asarray(scales["act_scales"], np.float32)
+    it = iter(range(len(act_scales)))
+    conv_q = _make_conv_q_std(dtype, block_rows, interpret)
+    n = content.shape[0]
+
+    x, x_s = (jnp.concatenate([content, style], axis=0).astype(dtype),
+              None)
+    for li, (k, b) in enumerate(enc):
+        if _q8_eligible(k):
+            out_s = float(act_scales[next(it)])
+            x, x_s = conv_q(x, x_s, k, b, out_scale=out_s), out_s
+        else:
+            x = _same_conv_relu(x, k, b, dtype)
+            nxt = enc[li + 1][0] if li + 1 < len(enc) else None
+            if nxt is not None and _q8_eligible(nxt):
+                s = float(act_scales[next(it)])
+                x, x_s = quantize_activations(x, s), s
+            else:
+                x_s = None
+
+    if x_s is not None:
+        cq, sq = x[:n], x[n:]
+        cm, cstd = _stats_q8(cq, x_s)
+        sm, sstd = _stats_q8(sq, x_s)
+        fused = ((cq.astype(jnp.float32) * x_s - cm) / cstd * sstd + sm)
+    else:
+        from ..ops.stats import adaptive_instance_normalization as adain
+        fused = adain(x[:n], x[n:]).astype(jnp.float32)
+
+    x, x_s = fused.astype(dtype), None
+    for li, (k, b) in enumerate(dec):
+        if _q8_eligible(k):
+            if x_s is None:
+                s = float(act_scales[next(it)])
+                x, x_s = quantize_activations(x, s), s
+            nxt_eligible = (li + 1 < len(dec)
+                            and _q8_eligible(dec[li + 1][0]))
+            if nxt_eligible:
+                out_s = float(act_scales[next(it)])
+                x, x_s = conv_q(x, x_s, k, b, out_scale=out_s), out_s
+            else:
+                x, x_s = conv_q(x, x_s, k, b), None
+        else:
+            x = _same_conv_relu(x, k, b, dtype)
+            x_s = None
+    return x.astype(content.dtype)

@@ -130,7 +130,14 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
     return kernel
 
 
-def _shrink_block_rows(h, w, c4, c4o, isz, block_rows, out_isz=None):
+def _shrink_block_rows(h, w, c4, c4o, isz, block_rows, out_isz=None,
+                       min_rows=8):
+    """Largest block_rows dividing h whose working set fits scoped VMEM.
+
+    ``min_rows`` floors the VMEM-driven shrink (divisibility still shrinks
+    below it): the folded kernels keep the historical floor of 8, while
+    wide-channel standard-layout callers (512 lanes at 512 width) pass 1 —
+    at those sizes even 4-row blocks exceed the 16 MB scoped limit."""
     out_isz = isz if out_isz is None else out_isz
 
     def vmem_bytes(br):
@@ -141,7 +148,7 @@ def _shrink_block_rows(h, w, c4, c4o, isz, block_rows, out_isz=None):
                 + 4 * br * w * c4o            # f32/i32 accumulator
                 + 2 * br * w * c4o * out_isz)  # double-buffered out block
 
-    while h % block_rows or (block_rows > 8
+    while h % block_rows or (block_rows > min_rows
                              and vmem_bytes(block_rows) > 11 * 2**20):
         block_rows //= 2
     return max(block_rows, 1)

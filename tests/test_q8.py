@@ -138,3 +138,34 @@ def test_q8_ccam_quality_vs_f32(rng):
     span = float(ref.max() - ref.min()) or 1.0
     psnr = 10 * np.log10(span * span / max(mse, 1e-12))
     assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_q8_adain_quality_vs_f32(rng):
+    """Int8 PTQ AdaINRP serving (standard-layout wide-channel kernel)
+    stays close to the standard f32 model path."""
+    from rpst.models.fast_path_q8 import (calibrate_adain_q8,
+                                          stylize_adain_q8)
+
+    cfg = load_config(dict(network="adain", rp_blocks=5, hidden_dim=32,
+                           img_size=32))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+    params = variables["params"]
+
+    ref = np.asarray(bundle.model.apply(
+        {"params": params}, content, style, train=False))
+    scales = calibrate_adain_q8(params, content, style)
+    # h32/rp5: enc records 3 (input of (128,256), outputs of the two
+    # eligible layers), decoder records 2 (inputs of (512,256), (256,128))
+    assert len(scales["act_scales"]) == 5
+    got = np.asarray(stylize_adain_q8(params, scales, content, style,
+                                      dtype=jnp.float32, interpret=True))
+
+    mse = float(np.mean((got - ref) ** 2))
+    span = float(ref.max() - ref.min()) or 1.0
+    psnr = 10 * np.log10(span * span / max(mse, 1e-12))
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB"

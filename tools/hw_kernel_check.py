@@ -110,6 +110,49 @@ def main():
             x_q, w_q, sc, out_int8=False))(x_q)
         check(f"fused_folded_conv_q8 b{bs} h{h}", got, ref, atol=0.25)
 
+    # standard-layout int8 conv (wide channels) vs emulated int reference
+    from rpst.ops.pallas.conv2d_q8 import fused_conv2d_q8
+
+    for ch, co, bs, h in ((256, 256, 1, 64), (128, 256, 2, 32)):
+        ks = jnp.asarray(rng.normal(size=(3, 3, ch, co))
+                         .astype(np.float32) * 0.05)
+        bs_f = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+        w_qs, w_ss = quantize_weights(ks)
+        xf = rng.normal(size=(bs, h, 128, ch)).astype(np.float32) * 2.0
+        x_qs = quantize_activations(jnp.asarray(xf), x_scale)
+        deqs = (x_scale * w_ss).astype(jnp.float32)
+        scs = jnp.stack([deqs, bs_f, jnp.zeros_like(deqs)])
+
+        def std_int_ref(x_q):
+            xp = jnp.pad(x_q.astype(jnp.float32),
+                         ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+            y = jax.lax.conv_general_dilated(
+                xp, w_qs.astype(jnp.float32), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y * deqs + bs_f
+            return jnp.where(y >= 0, y, 0.2 * y)
+
+        ref = jax.jit(std_int_ref)(x_qs)
+        got = jax.jit(lambda x_q: fused_conv2d_q8(
+            x_q, w_qs, scs, out_int8=False))(x_qs)
+        check(f"fused_conv2d_q8 ch{ch}->{co} b{bs} h{h}", got, ref,
+              atol=0.25)
+
+        def std_int_ref_zero(x_q):
+            y = jax.lax.conv_general_dilated(
+                x_q.astype(jnp.float32), w_qs.astype(jnp.float32),
+                (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y * deqs + bs_f
+            return jnp.maximum(y, 0)
+
+        ref = jax.jit(std_int_ref_zero)(x_qs)
+        got = jax.jit(lambda x_q: fused_conv2d_q8(
+            x_q, w_qs, scs, out_int8=False, alpha=0.0,
+            pad_mode="zero"))(x_qs)
+        check(f"fused_conv2d_q8 zero ch{ch}->{co} b{bs} h{h}", got, ref,
+              atol=0.25)
+
     # flash attention fwd + bwd vs the dense reference
     from rpst.ops.pallas.flash_attention import (_dense_attention,
                                                  flash_attention)
