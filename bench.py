@@ -178,20 +178,26 @@ def bench_family(network: str, batches=(1, 4), img=IMG, **cfg_over):
                 f"{type(e).__name__}: {str(e)[:120]}")
 
 
-def bench_adain_q8(batches=(1, 4), img=IMG):
-    """adain int8 PTQ serving (standard-layout wide-channel Pallas
-    kernel, fast_path_q8.stylize_adain_q8) — stderr only."""
+def bench_std_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
+    """adain/wct int8 PTQ serving (standard-layout wide-channel Pallas
+    kernel, fast_path_q8.stylize_adain_q8 / stylize_wct_q8) — stderr
+    only."""
     from functools import partial
     from rpst.config import load_config
     from rpst.models import build_model
-    from rpst.models.fast_path_q8 import (calibrate_adain_q8,
-                                          stylize_adain_q8)
+    from rpst.models import fast_path_q8 as q8
 
-    cfg = load_config(dict(network="adain", rp_blocks=5, hidden_dim=32,
-                           img_size=img, compute_dtype="bfloat16"))
+    cfg = load_config(dict(network=network, img_size=img,
+                           compute_dtype="bfloat16", **cfg_over))
+    if network == "wct":
+        calibrate = partial(q8.calibrate_wct_q8, method=cfg.wct_method)
+        stylize = partial(q8.stylize_wct_q8, method=cfg.wct_method)
+    else:
+        calibrate = q8.calibrate_adain_q8
+        stylize = q8.stylize_adain_q8
     bundle = build_model(cfg)
     rng = jax.random.PRNGKey(0)
-    base = FAMILY_BASELINE_IMG_PER_S.get("adain")
+    base = FAMILY_BASELINE_IMG_PER_S.get(network)
     for batch in batches:
         content = jnp.asarray(np.random.default_rng(0).random(
             (batch, img, img, 3), np.float32))
@@ -200,14 +206,14 @@ def bench_adain_q8(batches=(1, 4), img=IMG):
         variables = jax.jit(partial(bundle.model.init, train=False))(
             rng, content, style)
         params = variables["params"]
-        scales = calibrate_adain_q8(params, content, style)
+        scales = calibrate(params, content, style)
 
         @partial(jax.jit, static_argnames=("n",))
         def run_n(params, content, style, n):
             def body(i, carry):
                 c, acc = carry
                 c = c.at[0, 0, 0, 0].add(1e-12 * i)
-                out = stylize_adain_q8(params, scales, c, style)
+                out = stylize(params, scales, c, style)
                 return (c, acc + jnp.mean(out))
 
             _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
@@ -223,10 +229,10 @@ def bench_adain_q8(batches=(1, 4), img=IMG):
                 best = min(best, time.perf_counter() - t0)
             per = best / iters
             vs = f", vs_baseline {batch/per/base:.2f}x" if base else ""
-            log(f"[all] adain-q8 {img}px batch={batch}: "
+            log(f"[all] {network}-q8 {img}px batch={batch}: "
                 f"{batch/per:.2f} img/s ({per*1e3:.1f} ms/pass){vs}")
         except Exception as e:
-            log(f"[all] adain-q8 {img}px batch={batch}: "
+            log(f"[all] {network}-q8 {img}px batch={batch}: "
                 f"{type(e).__name__}: {str(e)[:120]}")
 
 
@@ -295,10 +301,12 @@ def main():
         # secondary sweep: other model families + high-res scaling
         bench_family("wct", rp_blocks=5, hidden_dim=16,
                      enc_stack_way="deeper")
+        bench_std_q8("wct", rp_blocks=5, hidden_dim=16,
+                     enc_stack_way="deeper")
         bench_family("sanet")
         bench_family("dynamic_sanet")
         bench_family("adain", rp_blocks=5, hidden_dim=32)
-        bench_adain_q8()
+        bench_std_q8("adain", rp_blocks=5, hidden_dim=32)
         bench_family("sel_multi_adain", enc_stack_way="constant",
                      rp_blocks=5, hidden_dim=32, inception_num=0,
                      attention="none", exec_strategy="folded")

@@ -12,7 +12,7 @@ at a fixed image size, pick the execution strategy by flag:
   * ``--mode standard``the plain model path (any network).
 
 q8 and folded cover multi_adain, sel_multi_adain and ccam (plain
-constant stacks); q8 additionally covers adain (wide-channel
+constant stacks); q8 additionally covers adain and wct (wide-channel
 standard-layout int8 kernel); other networks fall back to standard
 automatically.
 
@@ -109,7 +109,7 @@ def main():
     fast_ok = bundle.q8_infer() if mode == "q8" else bundle.folded_infer()
     if mode in ("folded", "q8") and not fast_ok:
         logger.warning(f"--mode {mode} supports multi_adain/sel_multi_adain"
-                       "/ccam constant stacks (q8, folded) and adain "
+                       "/ccam constant stacks (q8, folded) and adain/wct "
                        "(q8); falling back to standard")
         mode = "standard"
 
@@ -175,6 +175,11 @@ def main():
         elif bundle.network == "adain":
             scales = calibrate_adain_q8(variables["params"], calib,
                                         calib_style)
+        elif bundle.network == "wct":
+            from rpst.models.fast_path_q8 import calibrate_wct_q8
+            scales = calibrate_wct_q8(variables["params"], calib,
+                                      calib_style, method=cfg.wct_method,
+                                      wct_dtype=jnp.dtype(cfg.wct_dtype))
         else:
             scales = calibrate_multi_adain_q8(variables["params"], calib,
                                               calib_style)
@@ -197,6 +202,12 @@ def main():
             if bundle.network == "adain":
                 return stylize_adain_q8(params_and_extra["params"],
                                         scales, content, style)
+            if bundle.network == "wct":
+                from rpst.models.fast_path_q8 import stylize_wct_q8
+                return stylize_wct_q8(params_and_extra["params"], scales,
+                                      content, style,
+                                      method=cfg.wct_method,
+                                      wct_dtype=jnp.dtype(cfg.wct_dtype))
             return stylize_multi_adain_folded_q8(
                 params_and_extra["params"], scales, content, style)
         # folded mode routes through bundle.stylize (exec_strategy=folded

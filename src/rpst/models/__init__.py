@@ -85,10 +85,12 @@ class ModelBundle:
 
     def q8_infer(self) -> bool:
         """Families with an int8 PTQ serving path (fast_path_q8.py):
-        the folded constant-stack families, plus adain's wide-channel
-        standard-layout path (ops/pallas/conv2d_q8)."""
+        the folded constant-stack families, plus the adain/wct
+        wide-channel standard-layout path (ops/pallas/conv2d_q8)."""
         if self.network == "adain":
             return not self.cfg.use_mask
+        if self.network == "wct":
+            return True
         return (self.network in ("multi_adain", "sel_multi_adain", "ccam")
                 and self._folded_stack_ok())
 

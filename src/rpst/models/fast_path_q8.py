@@ -109,14 +109,32 @@ def _folded_stats_q8(q, scale, eps: float = 1e-5):
     return mean4, std4
 
 
-def _adain_affine_q8(c_feat, s_feat):
+def _stats_from_sums(s1, s2, m: int, eps: float = 1e-5):
+    """(mean4, std4) from the conv kernel's fused per-image channel sums
+    (s1/s2: (N, 4C) f32 over the folded lanes — combine the 4
+    sub-position blocks per channel, unbiased variance)."""
+    n, c4 = s1.shape
+    c = c4 // 4
+    s1c = jnp.sum(s1.reshape(n, 4, c), axis=1)
+    s2c = jnp.sum(s2.reshape(n, 4, c), axis=1)
+    mean = s1c / float(m)
+    var = (s2c - s1c * s1c / float(m)) / float(max(m - 1, 1))
+    std = jnp.sqrt(jnp.maximum(var, 0.0) + eps)
+    mean4 = jnp.tile(mean, (1, 4))[:, None, None, :]
+    std4 = jnp.tile(std, (1, 4))[:, None, None, :]
+    return mean4, std4
+
+
+def _adain_affine_q8(c_feat, s_feat, c_stats=None, s_stats=None):
     """AdaIN between (int8, scale) feature pairs -> float fusion tensor.
     The dequantize + affine chain is elementwise, so XLA fuses it into the
     consumer (the add + requantize before the next conv) — no extra HBM
-    pass."""
+    pass.  ``c_stats``/``s_stats`` take (mean4, std4) precomputed by the
+    conv kernel's fused statistics (exact f32 sums harvested in the
+    epilogue) and skip the int8 re-read reduction entirely."""
     (cq, cs), (sq, ss) = c_feat, s_feat
-    cm, cstd = _folded_stats_q8(cq, cs)
-    sm, sstd = _folded_stats_q8(sq, ss)
+    cm, cstd = c_stats if c_stats is not None else _folded_stats_q8(cq, cs)
+    sm, sstd = s_stats if s_stats is not None else _folded_stats_q8(sq, ss)
     return (cq.astype(jnp.float32) * cs - cm) / cstd * sstd + sm
 
 
@@ -124,30 +142,42 @@ def _make_conv_q(dtype, block_rows: int, interpret: bool):
     """Shared int8 conv closure: eligible conv on a pre-quantized input;
     int8 out when out_scale is given, dequantized ``dtype`` otherwise."""
 
-    def conv_q(x_q, x_scale, k, b, out_scale=None):
+    def conv_q(x_q, x_scale, k, b, out_scale=None, want_stats=False):
         w_q, w_scale = quantize_weights(k.astype(jnp.float32))
         srow0 = x_scale * w_scale
         srow1 = b.astype(jnp.float32)
         if out_scale is None:
             sc = jnp.stack([srow0, srow1, jnp.zeros_like(srow0)])
-            return fused_folded_conv_q8(x_q, w_q, sc, out_int8=False,
-                                        block_rows=block_rows,
-                                        interpret=interpret).astype(dtype)
+            out = fused_folded_conv_q8(x_q, w_q, sc, out_int8=False,
+                                       block_rows=block_rows,
+                                       with_stats=want_stats,
+                                       interpret=interpret)
+            if want_stats:
+                return out[0].astype(dtype), out[1], out[2]
+            return out.astype(dtype)
         srow2 = jnp.broadcast_to(jnp.float32(1.0 / out_scale), srow0.shape)
         sc = jnp.stack([srow0, srow1, srow2])
         return fused_folded_conv_q8(x_q, w_q, sc, out_int8=True,
                                     block_rows=block_rows,
+                                    with_stats=want_stats,
                                     interpret=interpret)
 
     return conv_q
 
 
-def _encode_q8(enc, act_scales, it, img, dtype, conv_q):
+def _encode_q8(enc, act_scales, it, img, dtype, conv_q,
+               fuse_stats: bool = False):
     """Chained int8 constant-stack encoder: feats are (int8, scale) pairs
-    (shared by every family whose encoder is the plain RP stack)."""
+    (shared by every family whose encoder is the plain RP stack).
+
+    With ``fuse_stats`` also returns a per-layer list of (mean4, std4)
+    AdaIN statistics harvested from the conv kernel epilogues (None for
+    layers run through XLA) — callers fuse without re-reading features."""
     x = fold(img.astype(dtype))
     feats = []
+    stats = []
     for li, (k, b) in enumerate(enc):
+        st = None
         if not _q8_eligible(k):
             x = _lrelu(folded_conv(x, k.astype(dtype), b.astype(dtype)))
             nxt = enc[li + 1][0] if li + 1 < len(enc) else None
@@ -160,8 +190,18 @@ def _encode_q8(enc, act_scales, it, img, dtype, conv_q):
             x_q, x_scale = x
             # int8 out with the calibrated scale for this layer's output
             out_s = float(act_scales[next(it)])
-            x = (conv_q(x_q, x_scale, k, b, out_scale=out_s), out_s)
+            if fuse_stats:
+                y, s1, s2 = conv_q(x_q, x_scale, k, b, out_scale=out_s,
+                                   want_stats=True)
+                m = y.shape[1] * y.shape[2] * 4
+                st = _stats_from_sums(s1, s2, m)
+                x = (y, out_s)
+            else:
+                x = (conv_q(x_q, x_scale, k, b, out_scale=out_s), out_s)
         feats.append(x)
+        stats.append(st)
+    if fuse_stats:
+        return feats, stats
     return feats
 
 
@@ -182,16 +222,20 @@ def stylize_multi_adain_folded_q8(params, scales, content, style,
     it = iter(range(len(act_scales)))
     conv_q = _make_conv_q(dtype, block_rows, interpret)
 
-    c_feats = _encode_q8(enc, act_scales, it, content, dtype, conv_q)
-    s_feats = _encode_q8(enc, act_scales, it, style, dtype, conv_q)
+    c_feats, c_stats = _encode_q8(enc, act_scales, it, content, dtype,
+                                  conv_q, fuse_stats=True)
+    s_feats, s_stats = _encode_q8(enc, act_scales, it, style, dtype,
+                                  conv_q, fuse_stats=True)
 
-    stylized = _adain_affine_q8(c_feats[-1], s_feats[-1]).astype(dtype)
+    stylized = _adain_affine_q8(c_feats[-1], s_feats[-1],
+                                c_stats[-1], s_stats[-1]).astype(dtype)
     k, b = dec[0]
     s_in = float(act_scales[next(it)])
     stylized = conv_q(quantize_activations(stylized, s_in), s_in, k, b)
-    pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
-    for i, (cf, sf) in enumerate(pairs):
-        fusion = _adain_affine_q8(cf, sf).astype(dtype)
+    pairs = list(zip(c_feats[:-1], s_feats[:-1],
+                     c_stats[:-1], s_stats[:-1]))[::-1]
+    for i, (cf, sf, cst, sst) in enumerate(pairs):
+        fusion = _adain_affine_q8(cf, sf, cst, sst).astype(dtype)
         k, b = dec[i + 1]
         if _q8_eligible(k):
             s_in = float(act_scales[next(it)])
@@ -521,26 +565,20 @@ def _make_conv_q_std(dtype, block_rows: int, interpret: bool):
     return conv_q
 
 
-def _forward_collect_adain(params, content, style, dtype=jnp.bfloat16):
+def _collect_rp_sequence(enc, dec, x, fuse, dtype):
     """bf16 forward recording calibration absmaxes in exactly the order
-    ``stylize_adain_q8`` consumes them: encoder (2N pass) layer outputs
-    feeding eligible layers / eligible outputs, then each quantized
-    decoder input/output."""
-    enc = _rp_sequence_convs(params, "encoder")
-    dec = _rp_sequence_convs(params, "decoder")
+    ``_encode_std_q8``/``_decode_std_q8`` consume them: encoder (2N pass)
+    layer outputs feeding eligible layers / eligible outputs, then each
+    quantized decoder input/output.  ``fuse`` maps the 2N deepest feature
+    to the decoder input."""
     absmax: List[jnp.ndarray] = []
-    n = content.shape[0]
-
-    x = jnp.concatenate([content, style], axis=0).astype(dtype)
     for li, (k, b) in enumerate(enc):
         x = _same_conv_relu(x, k, b, dtype)
         nxt_eligible = (li + 1 < len(enc) and _q8_eligible(enc[li + 1][0]))
         if nxt_eligible or (li == len(enc) - 1 and _q8_eligible(k)):
             absmax.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
-    cf, sf = x[:n], x[n:]
 
-    from ..ops.stats import adaptive_instance_normalization as adain
-    x = adain(cf, sf).astype(dtype)
+    x = fuse(x).astype(dtype)
     for li, (k, b) in enumerate(dec):
         if _q8_eligible(k):
             absmax.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
@@ -548,11 +586,62 @@ def _forward_collect_adain(params, content, style, dtype=jnp.bfloat16):
     return x, absmax
 
 
+def _encode_std_q8(enc, act_scales, it, x, dtype, conv_q):
+    """Standard-layout chained int8 encoder; returns the deepest feature
+    as ``(tensor, scale-or-None)`` (int8 when the last layer is
+    lane-aligned)."""
+    x_s = None
+    for li, (k, b) in enumerate(enc):
+        if _q8_eligible(k):
+            out_s = float(act_scales[next(it)])
+            x, x_s = conv_q(x, x_s, k, b, out_scale=out_s), out_s
+        else:
+            x = _same_conv_relu(x, k, b, dtype)
+            nxt = enc[li + 1][0] if li + 1 < len(enc) else None
+            if nxt is not None and _q8_eligible(nxt):
+                s = float(act_scales[next(it)])
+                x, x_s = quantize_activations(x, s), s
+            else:
+                x_s = None
+    return x, x_s
+
+
+def _decode_std_q8(dec, act_scales, it, x, dtype, conv_q):
+    """Standard-layout decoder on a float input: lane-aligned layers run
+    the int8 kernel (chained int8 while consecutive), the rest bf16."""
+    x_s = None
+    for li, (k, b) in enumerate(dec):
+        if _q8_eligible(k):
+            if x_s is None:
+                s = float(act_scales[next(it)])
+                x, x_s = quantize_activations(x, s), s
+            nxt_eligible = (li + 1 < len(dec)
+                            and _q8_eligible(dec[li + 1][0]))
+            if nxt_eligible:
+                out_s = float(act_scales[next(it)])
+                x, x_s = conv_q(x, x_s, k, b, out_scale=out_s), out_s
+            else:
+                x, x_s = conv_q(x, x_s, k, b), None
+        else:
+            x = _same_conv_relu(x, k, b, dtype)
+            x_s = None
+    return x
+
+
 def calibrate_adain_q8(params, content, style) -> Dict[str, np.ndarray]:
     """One calibration pass -> per-tensor symmetric input scales for
     :func:`stylize_adain_q8` (absmax / 127 over representative batches)."""
-    absmax = jax.jit(lambda p, c, s: _forward_collect_adain(p, c, s)[1])(
-        params, content, style)
+    from ..ops.stats import adaptive_instance_normalization as adain
+
+    n = content.shape[0]
+
+    def collect(p, c, s):
+        x = jnp.concatenate([c, s], axis=0).astype(jnp.bfloat16)
+        return _collect_rp_sequence(
+            _rp_sequence_convs(p, "encoder"), _rp_sequence_convs(p, "decoder"),
+            x, lambda f: adain(f[:n], f[n:]), jnp.bfloat16)[1]
+
+    absmax = jax.jit(collect)(params, content, style)
     scales = np.asarray([max(float(a), 1e-6) / 127.0 for a in absmax],
                         np.float32)
     return {"act_scales": scales}
@@ -574,20 +663,8 @@ def stylize_adain_q8(params, scales, content, style,
     conv_q = _make_conv_q_std(dtype, block_rows, interpret)
     n = content.shape[0]
 
-    x, x_s = (jnp.concatenate([content, style], axis=0).astype(dtype),
-              None)
-    for li, (k, b) in enumerate(enc):
-        if _q8_eligible(k):
-            out_s = float(act_scales[next(it)])
-            x, x_s = conv_q(x, x_s, k, b, out_scale=out_s), out_s
-        else:
-            x = _same_conv_relu(x, k, b, dtype)
-            nxt = enc[li + 1][0] if li + 1 < len(enc) else None
-            if nxt is not None and _q8_eligible(nxt):
-                s = float(act_scales[next(it)])
-                x, x_s = quantize_activations(x, s), s
-            else:
-                x_s = None
+    x2 = jnp.concatenate([content, style], axis=0).astype(dtype)
+    x, x_s = _encode_std_q8(enc, act_scales, it, x2, dtype, conv_q)
 
     if x_s is not None:
         cq, sq = x[:n], x[n:]
@@ -598,20 +675,56 @@ def stylize_adain_q8(params, scales, content, style,
         from ..ops.stats import adaptive_instance_normalization as adain
         fused = adain(x[:n], x[n:]).astype(jnp.float32)
 
-    x, x_s = fused.astype(dtype), None
-    for li, (k, b) in enumerate(dec):
-        if _q8_eligible(k):
-            if x_s is None:
-                s = float(act_scales[next(it)])
-                x, x_s = quantize_activations(x, s), s
-            nxt_eligible = (li + 1 < len(dec)
-                            and _q8_eligible(dec[li + 1][0]))
-            if nxt_eligible:
-                out_s = float(act_scales[next(it)])
-                x, x_s = conv_q(x, x_s, k, b, out_scale=out_s), out_s
-            else:
-                x, x_s = conv_q(x, x_s, k, b), None
-        else:
-            x = _same_conv_relu(x, k, b, dtype)
-            x_s = None
-    return x.astype(content.dtype)
+    out = _decode_std_q8(dec, act_scales, it, fused.astype(dtype), dtype,
+                         conv_q)
+    return out.astype(content.dtype)
+
+
+def calibrate_wct_q8(params, content, style, method="closed-form",
+                     wct_dtype=jnp.float32) -> Dict[str, np.ndarray]:
+    """Calibration absmaxes for :func:`stylize_wct_q8`."""
+    from ..ops.wct import wct_fuse
+
+    n = content.shape[0]
+
+    def collect(p, c, s):
+        x = jnp.concatenate([c, s], axis=0).astype(jnp.bfloat16)
+        return _collect_rp_sequence(
+            _rp_sequence_convs(p, "encoder"), _rp_sequence_convs(p, "decoder"),
+            x, lambda f: wct_fuse(f[:n].astype(jnp.float32),
+                                  f[n:].astype(jnp.float32),
+                                  method=method, dtype=wct_dtype),
+            jnp.bfloat16)[1]
+
+    absmax = jax.jit(collect)(params, content, style)
+    scales = np.asarray([max(float(a), 1e-6) / 127.0 for a in absmax],
+                        np.float32)
+    return {"act_scales": scales}
+
+
+def stylize_wct_q8(params, scales, content, style, method="closed-form",
+                   wct_dtype=jnp.float32, dtype=jnp.bfloat16,
+                   block_rows: int = 16,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Int8 PTQ WCTRP serving (reference wct_rp.py:42-194 semantics) —
+    the same RPSequence stacks as adain with the whiten-color fuse at
+    the deepest feature; the eigendecomposition stays f32 (the style
+    covariance is the signal), only conv I/O is quantized."""
+    from ..ops.wct import wct_fuse
+
+    enc = _rp_sequence_convs(params, "encoder")
+    dec = _rp_sequence_convs(params, "decoder")
+    act_scales = np.asarray(scales["act_scales"], np.float32)
+    it = iter(range(len(act_scales)))
+    conv_q = _make_conv_q_std(dtype, block_rows, interpret)
+    n = content.shape[0]
+
+    x2 = jnp.concatenate([content, style], axis=0).astype(dtype)
+    x, x_s = _encode_std_q8(enc, act_scales, it, x2, dtype, conv_q)
+    f = (x.astype(jnp.float32) * x_s if x_s is not None
+         else x.astype(jnp.float32))
+    fused = wct_fuse(f[:n], f[n:], method=method, dtype=wct_dtype)
+
+    out = _decode_std_q8(dec, act_scales, it, fused.astype(dtype), dtype,
+                         conv_q)
+    return out.astype(content.dtype)

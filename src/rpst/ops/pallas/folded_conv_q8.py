@@ -40,12 +40,16 @@ def quantize_activations(x: jnp.ndarray, scale):
 
 
 def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
-                 C4: int, out_int8: bool):
+                 C4: int, out_int8: bool, with_stats: bool = False):
     C = C4 // 4
     BR = block_rows
     total = N * num_blocks
 
-    def kernel(x_hbm, rings_ref, k_ref, scale_ref, o_ref, scratch, sem):
+    def kernel(x_hbm, rings_ref, k_ref, scale_ref, o_ref, *rest):
+        if with_stats:
+            s1_ref, s2_ref, scratch, sem = rest
+        else:
+            scratch, sem = rest
         n = pl.program_id(0)
         i = pl.program_id(1)
         t = n * num_blocks + i
@@ -122,6 +126,24 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
         bias = scale_ref[1]  # (c4o,) f32
         y = acc.astype(jnp.float32) * deq + bias
         y = jnp.where(y >= 0, y, 0.2 * y)
+        if with_stats:
+            # per-image post-activation channel sums, accumulated across
+            # the row blocks into revisited (1, c4o) outputs — the AdaIN
+            # statistics come out of the conv for free instead of a
+            # separate full-feature reduction pass (measured ~22% of the
+            # q8 stylize step at b8)
+            bs1 = jnp.sum(y, axis=0, keepdims=True)[None]  # (1, 1, c4o)
+            bs2 = jnp.sum(y * y, axis=0, keepdims=True)[None]
+
+            @pl.when(i == 0)
+            def _():
+                s1_ref[...] = bs1
+                s2_ref[...] = bs2
+
+            @pl.when(i > 0)
+            def _():
+                s1_ref[...] += bs1
+                s2_ref[...] += bs2
         if out_int8:
             inv_out = scale_ref[2]  # (c4o,) f32: broadcast 1/out_scale
             q = jnp.clip(jnp.round(y * inv_out), -127, 127)
@@ -135,13 +157,17 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
 def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
                          scales: jnp.ndarray, out_int8: bool,
                          block_rows: int = 16,
-                         interpret: bool = False) -> jnp.ndarray:
+                         with_stats: bool = False,
+                         interpret: bool = False):
     """Quantized lrelu(folded_reflect_conv(x) + bias).
 
     x_q: (N, H, W, 4C) int8; w_q: (3, 3, 4C, 4Co) int8;
     scales: (3, 4Co) f32 rows = [x_scale*w_scale, bias, 1/out_scale]
     (row 2 ignored when ``out_int8=False``). Returns int8 (requantized
-    with out_scale) or bf16."""
+    with out_scale) or bf16; with ``with_stats`` returns
+    ``(out, s1, s2)`` where s1/s2 are the (N, 4Co) f32 per-image
+    post-activation channel sums / squared sums (the exact f32 values,
+    pre-requantization — feeding AdaIN stats without a re-read pass)."""
     from ..folded import _row_ring
 
     n, h, w, c4 = x_q.shape
@@ -152,9 +178,23 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
 
     rings = jnp.concatenate([_row_ring(x_q, True), _row_ring(x_q, False)],
                             axis=1)  # (N, 2, W, C4) int8
-    kernel = _make_kernel(block_rows, num_blocks, n, h, w, c4, out_int8)
+    kernel = _make_kernel(block_rows, num_blocks, n, h, w, c4, out_int8,
+                          with_stats)
     out_dtype = jnp.int8 if out_int8 else jnp.bfloat16
-    return pl.pallas_call(
+    out_specs = pl.BlockSpec((1, block_rows, w, c4o),
+                             lambda n_, i_: (n_, i_, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, h, w, c4o), out_dtype)
+    if with_stats:
+        # (N, 1, c4o) so the (1, 1, c4o) block's last-two dims equal the
+        # array dims (the /8 sublane tiling rule exempts exact matches)
+        stat_spec = pl.BlockSpec((1, 1, c4o), lambda n_, i_: (n_, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs = (out_specs, stat_spec, stat_spec)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n, 1, c4o), jnp.float32),
+                     jax.ShapeDtypeStruct((n, 1, c4o), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=(n, num_blocks),
         in_specs=[
@@ -166,10 +206,8 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
             pl.BlockSpec((3, c4o), lambda n_, i_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_rows, w, c4o),
-                               lambda n_, i_: (n_, i_, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, c4o), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, block_rows + 2, w, c4), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
@@ -178,3 +216,7 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(x_q, rings, w_q, scales)
+    if with_stats:
+        out, s1, s2 = res
+        return out, s1[:, 0], s2[:, 0]
+    return res

@@ -169,3 +169,50 @@ def test_q8_adain_quality_vs_f32(rng):
     span = float(ref.max() - ref.min()) or 1.0
     psnr = 10 * np.log10(span * span / max(mse, 1e-12))
     assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_q8_wct_quality_vs_f32(rng):
+    """Int8 PTQ WCTRP serving stays close to the standard f32 model."""
+    from rpst.models.fast_path_q8 import calibrate_wct_q8, stylize_wct_q8
+
+    cfg = load_config(dict(network="wct", rp_blocks=5, hidden_dim=32,
+                           img_size=32))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+    params = variables["params"]
+
+    ref = np.asarray(bundle.model.apply(
+        {"params": params}, content, style, train=False))
+    scales = calibrate_wct_q8(params, content, style)
+    assert len(scales["act_scales"]) == 5
+    got = np.asarray(stylize_wct_q8(params, scales, content, style,
+                                    dtype=jnp.float32, interpret=True))
+
+    mse = float(np.mean((got - ref) ** 2))
+    span = float(ref.max() - ref.min()) or 1.0
+    psnr = 10 * np.log10(span * span / max(mse, 1e-12))
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_fused_q8_kernel_stats(rng):
+    """with_stats returns the exact f32 post-activation channel sums."""
+    n, h, w, c4 = 2, 8, 16, 128
+    x_q = jnp.asarray(rng.integers(-10, 11, (n, h, w, c4), np.int8))
+    w_q = jnp.asarray(rng.integers(-10, 11, (3, 3, c4, c4), np.int8))
+    deq = jnp.asarray(rng.uniform(1e-3, 2e-3, c4).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.3, c4).astype(np.float32))
+    sc = jnp.stack([deq, bias, jnp.full_like(deq, 30.0)])
+    out, s1, s2 = fused_folded_conv_q8(x_q, w_q, sc, out_int8=True,
+                                       with_stats=True, block_rows=4,
+                                       interpret=True)
+    y = _emulated_q8(x_q, w_q, deq, bias)  # exact f32 post-lrelu
+    np.testing.assert_allclose(np.asarray(s1),
+                               np.asarray(jnp.sum(y, axis=(1, 2))),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2),
+                               np.asarray(jnp.sum(y * y, axis=(1, 2))),
+                               rtol=1e-4, atol=1e-3)

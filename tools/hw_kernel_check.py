@@ -110,6 +110,15 @@ def main():
             x_q, w_q, sc, out_int8=False))(x_q)
         check(f"fused_folded_conv_q8 b{bs} h{h}", got, ref, atol=0.25)
 
+        _, s1, s2 = jax.jit(lambda x_q: fused_folded_conv_q8(
+            x_q, w_q, sc, out_int8=False, with_stats=True))(x_q)
+        rs1 = jnp.sum(ref.astype(jnp.float32), axis=(1, 2))
+        rs2 = jnp.sum(ref.astype(jnp.float32) ** 2, axis=(1, 2))
+        check(f"fused_folded_conv_q8 stats s1 b{bs} h{h}", s1, rs1,
+              atol=0.005 * float(jnp.abs(rs1).max()))
+        check(f"fused_folded_conv_q8 stats s2 b{bs} h{h}", s2, rs2,
+              atol=0.005 * float(jnp.abs(rs2).max()))
+
     # standard-layout int8 conv (wide channels) vs emulated int reference
     from rpst.ops.pallas.conv2d_q8 import fused_conv2d_q8
 
