@@ -252,48 +252,72 @@ def stylize_multi_adain_folded_q8(params, scales, content, style,
 # ---------------------------------------------------------------------------
 
 def _sel_decode_q8(variables, c_feats, s_feats, dec, act_scales, it,
-                   dtype, conv_q, collect=None):
+                   dtype, conv_q, collect=None, c_stats=None,
+                   s_stats=None):
     """SELastRP decode (adain_rp.py:451-481 semantics: running AdaIN
     re-fusion, SE bottleneck before the final decoder block, no residual
     add) on (int8, scale) encoder features.
 
-    The running fusion normalizes the float ``stylized`` with style stats
-    reduced over int8; the SE bottleneck stays bf16 (BatchNorm running
-    stats + sigmoid gate — not a quantization win). With ``collect`` the
-    same code path records calibration absmax instead of reading scales."""
+    The running fusion's statistics come from the conv kernel epilogues
+    wherever possible: style stats from the encoder's fused sums
+    (``s_stats``), the running ``stylized`` stats from the previous
+    decoder conv (``want_stats``) — no full-feature re-read passes; the
+    SE bottleneck stays bf16 (BatchNorm running stats + sigmoid gate —
+    not a quantization win). With ``collect`` the same code path records
+    calibration absmax instead of reading scales."""
     from .fast_path import _folded_se_bottleneck
 
     params = variables["params"]
     stats = variables.get("batch_stats", {}).get("attention_block", None)
+    last_conv_stats = [None]  # (mean4, std4) of the previous dec_conv out
 
-    def dec_conv(x, k, b):
+    def dec_conv(x, k, b, want_stats=False):
+        last_conv_stats[0] = None
         if _q8_eligible(k):
             if collect is not None:
                 collect.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
                 return _lrelu(folded_conv(x.astype(dtype), k.astype(dtype),
                                           b.astype(dtype)))
             s_in = float(act_scales[next(it)])
-            return conv_q(quantize_activations(x.astype(jnp.float32), s_in),
-                          s_in, k, b)
+            x_q = quantize_activations(x.astype(jnp.float32), s_in)
+            if want_stats:
+                y, s1, s2 = conv_q(x_q, s_in, k, b, want_stats=True)
+                last_conv_stats[0] = _stats_from_sums(
+                    s1, s2, y.shape[1] * y.shape[2] * 4)
+                return y
+            return conv_q(x_q, s_in, k, b)
         return _lrelu(folded_conv(x.astype(dtype), k.astype(dtype),
                                   b.astype(dtype)))
 
-    stylized = _adain_affine_q8(c_feats[-1], s_feats[-1])
+    def enc_stats(stats_list, idx, feat):
+        if stats_list is not None and stats_list[idx] is not None:
+            return stats_list[idx]
+        return _folded_stats_q8(feat[0], feat[1])
+
+    stylized = _adain_affine_q8(
+        c_feats[-1], s_feats[-1],
+        c_stats[-1] if c_stats is not None else None,
+        s_stats[-1] if s_stats is not None else None)
     k, b = dec[0]
-    stylized = dec_conv(stylized, k, b)
+    stylized = dec_conv(stylized, k, b, want_stats=True)
     pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
     for i, (_, sf) in enumerate(pairs):
-        # running fusion: stats of the float stylized, int8 style stats
-        from ..ops.folded import folded_calc_mean_std
-        cm, cstd = folded_calc_mean_std(stylized.astype(jnp.float32))
-        sm, sstd = _folded_stats_q8(sf[0], sf[1])
+        # running fusion: stats of the float stylized (from the previous
+        # conv epilogue when available), encoder-fused style stats
+        if last_conv_stats[0] is not None:
+            cm, cstd = last_conv_stats[0]
+        else:
+            from ..ops.folded import folded_calc_mean_std
+            cm, cstd = folded_calc_mean_std(stylized.astype(jnp.float32))
+        sm, sstd = enc_stats(s_stats, len(pairs) - 1 - i, sf)
         stylized = ((stylized.astype(jnp.float32) - cm) / cstd * sstd + sm)
         if i == len(pairs) - 1:
             stylized = _folded_se_bottleneck(
                 stylized.astype(dtype), params["attention_block"], stats,
                 dtype)
         k, b = dec[i + 1]
-        stylized = dec_conv(stylized, k, b)
+        stylized = dec_conv(stylized, k, b,
+                            want_stats=(i + 1 < len(pairs)))
     return unfold(stylized.astype(jnp.float32))
 
 
@@ -350,10 +374,13 @@ def stylize_sel_multi_adain_folded_q8(variables, scales, content, style,
     it = iter(range(len(act_scales)))
     conv_q = _make_conv_q(dtype, block_rows, interpret)
 
-    c_feats = _encode_q8(enc, act_scales, it, content, dtype, conv_q)
-    s_feats = _encode_q8(enc, act_scales, it, style, dtype, conv_q)
+    c_feats, c_stats = _encode_q8(enc, act_scales, it, content, dtype,
+                                  conv_q, fuse_stats=True)
+    s_feats, s_stats = _encode_q8(enc, act_scales, it, style, dtype,
+                                  conv_q, fuse_stats=True)
     out = _sel_decode_q8(variables, c_feats, s_feats,
-                         dec, act_scales, it, dtype, conv_q)
+                         dec, act_scales, it, dtype, conv_q,
+                         c_stats=c_stats, s_stats=s_stats)
     return out.astype(content.dtype)
 
 
