@@ -28,7 +28,7 @@ Reference quirks preserved/documented:
 
 from __future__ import annotations
 
-from typing import Any, List
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +75,43 @@ class VGGishBigBranch(nn.Module):
         return x
 
 
+class NonOverlapConvTranspose(nn.Module):
+    """ConvTranspose with kernel_size == strides (the v5 upsamplers,
+    reference adain_rp.py:822-858): each output pixel receives exactly
+    one kernel tap, so the transpose is a 1x1 projection C -> s*s*Co on
+    the coarse grid followed by depth-to-space.  XLA lowers the generic
+    ConvTranspose to an input-dilated conv that multiplies mostly zeros
+    — s^2 times the useful MACs (1024x at the deepest s=32 layer); this
+    exact rewrite is one MXU matmul.  Param tree (kernel (s, s, C, Co)
+    lecun-normal, bias (Co,) zeros) identical to ``nn.ConvTranspose``'s
+    defaults, so checkpoints are interchangeable (equality-tested in
+    tests/test_models.py)."""
+    features: int
+    kernel_size: Tuple[int, int] = (2, 2)
+    strides: Tuple[int, int] = (2, 2)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        assert (kh, kw) == tuple(self.strides)
+        n, h, w, c = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or x.dtype
+        # flax ConvTranspose applies the taps spatially flipped (the
+        # transpose of a correlation); flip to match bit-for-bit
+        km = jnp.transpose(kernel[::-1, ::-1], (2, 0, 1, 3)).reshape(
+            c, kh * kw * self.features).astype(dt)
+        y = jax.lax.dot_general(x.astype(dt).reshape(-1, c), km,
+                                (((1,), (0,)), ((), ())))
+        y = y.reshape(n, h, w, kh, kw, self.features)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+        y = y.reshape(n, h * kh, w * kw, self.features)
+        return y + bias.astype(dt)
+
+
 class LDAdaINRP(nn.Module):
     variant: int = 1  # 1..5
     layer_num: int = 5
@@ -115,7 +152,7 @@ class LDAdaINRP(nn.Module):
         self.decs = self._build_decoders(L, self.enc_out)
 
         if self.variant == 5:
-            self.ups = [nn.ConvTranspose(
+            self.ups = [NonOverlapConvTranspose(
                 features=h, kernel_size=(2 ** (i + 1),) * 2,
                 strides=(2 ** (i + 1),) * 2, dtype=self.dtype,
                 name=f"up_{i}") for i in range(L)]

@@ -141,3 +141,30 @@ def test_ld_variants_stylized_layers_lt_layer_num():
             variant, stylized_layers=1)
         img = bundle.stylize(variables, vgg_vars, content, style)
         assert img.shape == (1, 32, 32, 3)
+
+
+def test_nonoverlap_conv_transpose_equals_flax():
+    """The ld5 upsampler rewrite (1x1 projection + depth-to-space) is
+    bit-compatible with nn.ConvTranspose for kernel == stride: same
+    param tree (names, shapes, init) and equal outputs."""
+    import numpy as np
+    from flax import linen as nn
+    from rpst.models.ld_adain import NonOverlapConvTranspose
+
+    rng = jax.random.PRNGKey(7)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(2, 8, 6, 16)).astype(np.float32))
+    for s in (2, 4, 8):
+        ref_mod = nn.ConvTranspose(features=16, kernel_size=(s, s),
+                                   strides=(s, s))
+        new_mod = NonOverlapConvTranspose(features=16, kernel_size=(s, s),
+                                          strides=(s, s))
+        p_ref = ref_mod.init(rng, x)
+        p_new = new_mod.init(rng, x)
+        assert jax.tree.structure(p_ref) == jax.tree.structure(p_new)
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_new)):
+            assert a.shape == b.shape
+        out_ref = ref_mod.apply(p_ref, x)
+        out_new = new_mod.apply(p_ref, x)  # ref params through new path
+        np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_ref),
+                                   rtol=1e-5, atol=1e-5)
