@@ -260,11 +260,13 @@ class LDAdaINRP(nn.Module):
         # ops in the LD stacks). XLA picks far better conv layouts for the
         # 2N shapes — the same small-batch pathology class as BASELINE.md's
         # adain b1/b4 inversion. Measured on v5e at 512px:
-        # ld_adain5 b1 6.4 -> 10.9 img/s, b4 17.2 -> 21.9;
-        # ld_adain  b4 9.3 -> 15.2, b1 neutral (13.0 -> 13.4).
-        # v3/v4 measured the OPPOSITE at b4 (42.8 -> 36.6 / 44.8 -> 32.4)
-        # so the batching is gated to the variants where it wins.
-        if self.variant in (1, 5):
+        # ld_adain b4 9.3 -> 15.2, b1 neutral (13.0 -> 13.4).
+        # v3/v4 measured the OPPOSITE at b4 (42.8 -> 36.6 / 44.8 -> 32.4),
+        # and v5 — which benefited while its ConvTranspose dominated
+        # (b1 6.4 -> 10.9) — flipped once the NonOverlapConvTranspose
+        # rewrite removed that sink (b4 40.4 -> 30.7, b1 neutral), so the
+        # batching is gated to variant 1 only.
+        if self.variant == 1:
             n = content.shape[0]
             feats = self.encode_intermediate(
                 jnp.concatenate([content, style], axis=0), train=train)

@@ -34,7 +34,8 @@ from .folded_conv import _shrink_block_rows
 
 
 def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
-                 C: int, out_int8: bool, alpha: float, pad_mode: str):
+                 C: int, out_int8: bool, alpha: float, pad_mode: str,
+                 quantized: bool = True):
     BR = block_rows
     total = N * num_blocks
 
@@ -107,14 +108,21 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
         x_p1 = jnp.concatenate([slab[:, 1:], rcol], axis=1)
 
         co = k_ref.shape[-1]
-        acc = jnp.zeros((BR * W, co), jnp.int32)
+        acc_t = jnp.int32 if quantized else jnp.float32
+        acc = jnp.zeros((BR * W, co), acc_t)
         for dc, sl in ((0, x_m1), (1, slab), (2, x_p1)):
             for dr in range(3):
                 window = sl[dr:dr + BR]  # static row slice (untiled dim)
                 acc += jax.lax.dot_general(
                     window.reshape(BR * W, C), k_ref[dr, dc],
                     (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
+                    preferred_element_type=acc_t)
+
+        if not quantized:
+            y = acc + scale_ref[1]  # f32 accumulate + bias
+            y = jnp.where(y >= 0, y, alpha * y)
+            o_ref[0] = y.reshape(BR, W, co).astype(o_ref.dtype)
+            return
 
         # epilogue: dequant (x_scale * w_scale per lane) + bias + lrelu
         deq = scale_ref[0]   # (co,) f32: x_scale * w_scale
@@ -129,6 +137,62 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
             o_ref[0] = y.reshape(BR, W, co).astype(o_ref.dtype)
 
     return kernel
+
+
+def fused_conv2d_bf16(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                      alpha: float = 0.0, pad_mode: str = "reflect",
+                      block_rows: int = 16,
+                      interpret: bool = False) -> jnp.ndarray:
+    """bf16 act(pad_conv3x3(x) + bias), standard layout, f32 accumulate.
+
+    Same slab-DMA 9-tap dot kernel as the int8 variant — built for the
+    frozen-VGG perceptual-loss forwards (reflect-pad 3x3 + relu at
+    128-512 channels, reference ``network/base.py:57-111``), where XLA's
+    reflect pad materializes a padded copy per conv and the conv runs
+    well below the MXU bf16 rate.  x: (N, H, W, C) (cast to bf16);
+    w: (3, 3, C, Co); b: (Co,).  Returns bf16."""
+    if pad_mode not in ("reflect", "zero"):
+        raise ValueError(f"unknown pad_mode {pad_mode!r}")
+    x = x.astype(jnp.bfloat16)
+    w = w.astype(jnp.bfloat16)
+    n, h, wd, c = x.shape
+    co = w.shape[-1]
+    block_rows = _shrink_block_rows(h, wd, c, co, 2, block_rows,
+                                    min_rows=1)
+    num_blocks = h // block_rows
+
+    if pad_mode == "reflect":
+        rings = jnp.stack([x[:, 1], x[:, h - 2]], axis=1)
+    else:
+        rings = jnp.zeros((n, 2, wd, c), x.dtype)
+    scales = jnp.stack([jnp.zeros((co,), jnp.float32),
+                        b.astype(jnp.float32)])
+    kernel = _make_kernel(block_rows, num_blocks, n, h, wd, c, False,
+                          alpha, pad_mode, quantized=False)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, num_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 2, wd, c), lambda n_, i_: (n_, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c, co), lambda n_, i_: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, co), lambda n_, i_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, wd, co),
+                               lambda n_, i_: (n_, i_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, wd, co), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_rows + 2, wd, c), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(x, rings, w, scales)
 
 
 def fused_conv2d_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,

@@ -89,3 +89,28 @@ def test_single_block_and_uneven_blocks():
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(ref, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("pad_mode", ["reflect", "zero"])
+def test_bf16_variant_matches_xla(pad_mode):
+    from rpst.ops.pallas.conv2d_q8 import fused_conv2d_bf16
+
+    rng = np.random.default_rng(3)
+    n, h, w, c, co = 1, 8, 12, 128, 128
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, c, co)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+
+    jmode = "reflect" if pad_mode == "reflect" else "constant"
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (0, 0)),
+                 mode=jmode)
+    ref = jax.lax.conv_general_dilated(
+        xp, k.astype(jnp.bfloat16), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + b
+    ref = jnp.maximum(ref, 0)
+    got = fused_conv2d_bf16(x, k, b, alpha=0.0, pad_mode=pad_mode,
+                            block_rows=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=1e-1)
