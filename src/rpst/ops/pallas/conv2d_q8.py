@@ -145,12 +145,16 @@ def fused_conv2d_bf16(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                       interpret: bool = False) -> jnp.ndarray:
     """bf16 act(pad_conv3x3(x) + bias), standard layout, f32 accumulate.
 
-    Same slab-DMA 9-tap dot kernel as the int8 variant — built for the
-    frozen-VGG perceptual-loss forwards (reflect-pad 3x3 + relu at
-    128-512 channels, reference ``network/base.py:57-111``), where XLA's
-    reflect pad materializes a padded copy per conv and the conv runs
-    well below the MXU bf16 rate.  x: (N, H, W, C) (cast to bf16);
-    w: (3, 3, C, Co); b: (Co,).  Returns bf16."""
+    Same slab-DMA 9-tap dot kernel as the int8 variant.  Built as a
+    candidate for the frozen-VGG perceptual-loss forwards (reflect-pad
+    3x3 + relu at 128-512 channels, reference ``network/base.py:57-111``)
+    — but MEASURED A WASH there (2026-08-17, v5e, b8: 1.00x/0.94x/1.13x
+    vs the XLA reflect conv at 256px·c128 / 128px·c256 / 64px·c512; both
+    ~40 TF/s): at these smaller spatial extents XLA's pad+conv is not
+    reflect-copy-bound the way the 512px wide stacks are, and bf16 has
+    no 2x MXU rate to claim.  Kept as a verified utility; the int8
+    variant is where the wins are (BASELINE.md).  x: (N, H, W, C) (cast
+    to bf16); w: (3, 3, C, Co); b: (Co,).  Returns bf16."""
     if pad_mode not in ("reflect", "zero"):
         raise ValueError(f"unknown pad_mode {pad_mode!r}")
     x = x.astype(jnp.bfloat16)
