@@ -150,11 +150,12 @@ class ModelBundle:
                               mutable=mutable, **kwargs)
             parts, muts = out if mutable else (out, {})
         elif self.folded_infer():
-            # folded-domain forward (exact; differentiable XLA ring impl —
-            # the fused Pallas kernel is inference-only, no VJP), and the
-            # perceptual loss through the folded VGG path (stages 1-2
-            # space-to-depth — same math, ~half the HBM traffic of the
-            # dominant loss backward; see rpst/nn/vgg_folded.py)
+            # folded-domain forward (exact; differentiable — the fused
+            # Pallas kernels carry a custom-VJP backward pair, gated by
+            # ``folded_train_pallas``), and the perceptual loss through
+            # the folded VGG path (stages 1-2 space-to-depth — same math,
+            # ~half the HBM traffic of the dominant loss backward; see
+            # rpst/nn/vgg_folded.py)
             from ..nn.vgg_folded import perceptual_rp_losses_folded
             from .fast_path import (stylize_ccam_folded,
                                     stylize_mst_folded,
@@ -162,31 +163,32 @@ class ModelBundle:
                                     stylize_sel_multi_adain_folded,
                                     stylize_sel_multi_adain_folded_train)
             muts = {}
+            up = self.cfg.get("folded_train_pallas", False)
             if self.network == "sel_multi_adain":
                 if train:
                     stylized, muts = stylize_sel_multi_adain_folded_train(
                         variables, content, style,
-                        dtype=self._folded_dtype())
+                        dtype=self._folded_dtype(), use_pallas=up)
                     if not mutable:
                         muts = {}
                 else:
                     stylized = stylize_sel_multi_adain_folded(
                         variables, content, style,
-                        dtype=self._folded_dtype(), use_pallas=False)
+                        dtype=self._folded_dtype(), use_pallas=up)
             elif self.network == "ccam":
                 # no batch-coupled state under the folded gate; the CCAM
                 # einsums and scale params differentiate directly
                 stylized = stylize_ccam_folded(
                     variables, content, style,
                     stylized_layers=self.cfg.stylized_layers,
-                    dtype=self._folded_dtype(), use_pallas=False)
+                    dtype=self._folded_dtype(), use_pallas=up)
             elif self.network == "mst":
                 stylized = stylize_mst_folded(
                     variables, content, style,
                     stylized_layers=self.cfg.stylized_layers,
                     n_clusters=self.cfg.n_clusters,
                     mst_lambda=self.cfg.mst_lambda,
-                    dtype=self._folded_dtype(), use_pallas=False)
+                    dtype=self._folded_dtype(), use_pallas=up)
             else:
                 stylized = stylize_multi_adain_folded(
                     variables["params"], content, style,

@@ -208,18 +208,21 @@ def _folded_se_bottleneck_train(x_f, params, stats, dtype):
 
 
 def stylize_sel_multi_adain_folded_train(variables, content, style,
-                                         dtype=jnp.bfloat16):
+                                         dtype=jnp.bfloat16,
+                                         use_pallas=False):
     """Differentiable train-mode SELastRP forward in the folded domain
-    (XLA path only — the fused Pallas kernel has no VJP). Returns
-    (stylized, muts) where muts is the updated ``batch_stats``
-    collection."""
+    (``use_pallas`` routes the convs through the fused kernels' custom
+    VJP — the same backward Pallas pair as the flagship's folded
+    training). Returns (stylized, muts) where muts is the updated
+    ``batch_stats`` collection."""
     params = variables["params"]
     stats = variables["batch_stats"]["attention_block"]
     c_feats, s_feats, dec = _encode_folded(params["ms"], content, style,
-                                           dtype, use_pallas=False)
+                                           dtype, use_pallas=use_pallas)
     stylized = folded_adain(c_feats[-1], s_feats[-1])
     k, b = dec[0]
-    stylized = _conv_lrelu(stylized, k.astype(dtype), b.astype(dtype), False)
+    stylized = _conv_lrelu(stylized, k.astype(dtype), b.astype(dtype),
+                           use_pallas)
     new_stats = None
     pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
     for i, (_, sf) in enumerate(pairs):
@@ -229,7 +232,7 @@ def stylize_sel_multi_adain_folded_train(variables, content, style,
                 stylized, params["attention_block"], stats, dtype)
         k, b = dec[i + 1]
         stylized = _conv_lrelu(stylized, k.astype(dtype), b.astype(dtype),
-                               False)
+                               use_pallas)
     muts = {"batch_stats": {"attention_block": new_stats}}
     return unfold(stylized).astype(content.dtype), muts
 
