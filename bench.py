@@ -277,6 +277,70 @@ def bench_train(exec_strategy: str, batch: int, iters: int = 10,
         f"({per*1e3:.1f} ms/step)")
 
 
+def bench_vgg_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
+    """sanet / dynamic_sanet / src int8 PTQ serving (chained-int8 VGG
+    encode + int8 mirror decode, fast_path_q8.stylize_sanet_q8 /
+    stylize_src_q8) — stderr only."""
+    from functools import partial
+    from rpst.config import load_config
+    from rpst.models import build_model
+    from rpst.models import fast_path_q8 as q8
+    from rpst.nn.vgg import init_vgg_params
+
+    cfg = load_config(dict(network=network, img_size=img,
+                           compute_dtype="bfloat16", **cfg_over))
+    bundle = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    base = FAMILY_BASELINE_IMG_PER_S.get(network)
+    adaptive = network == "dynamic_sanet"
+    for batch in batches:
+        content = jnp.asarray(np.random.default_rng(0).random(
+            (batch, img, img, 3), np.float32))
+        style = jnp.asarray(np.random.default_rng(1).random(
+            (batch, img, img, 3), np.float32))
+        _, vgg_vars = init_vgg_params(rng, num_stages=bundle.vgg_stages)
+        variables = bundle.init(rng, content, style, vgg_vars)
+        if network == "src":
+            calibrate = partial(q8.calibrate_src_q8, variables["params"],
+                                vgg_vars)
+            stylize = partial(q8.stylize_src_q8, variables["params"],
+                              vgg_vars)
+        else:
+            calibrate = partial(q8.calibrate_sanet_q8, variables, vgg_vars,
+                                adaptive=adaptive,
+                                ada_module=cfg.ada_module)
+            stylize = partial(q8.stylize_sanet_q8, variables, vgg_vars,
+                              adaptive=adaptive, ada_module=cfg.ada_module)
+        scales = calibrate(content, style)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def run_n(content, style, n):
+            def body(i, carry):
+                c, acc = carry
+                c = c.at[0, 0, 0, 0].add(1e-12 * i)
+                out = stylize(scales, c, style)
+                return (c, acc + jnp.mean(out))
+
+            _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
+            return acc
+
+        iters = 10
+        try:
+            float(run_n(content, style, iters))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run_n(content, style, iters))
+                best = min(best, time.perf_counter() - t0)
+            per = best / iters
+            vs = f", vs_baseline {batch/per/base:.2f}x" if base else ""
+            log(f"[all] {network}-q8 {img}px batch={batch}: "
+                f"{batch/per:.2f} img/s ({per*1e3:.1f} ms/pass){vs}")
+        except Exception as e:
+            log(f"[all] {network}-q8 {img}px batch={batch}: "
+                f"{type(e).__name__}: {str(e)[:120]}")
+
+
 def main():
     if "--hires" in sys.argv:
         # 1024px (4x the reference's pixel count) through the fast paths
@@ -304,7 +368,9 @@ def main():
         bench_std_q8("wct", rp_blocks=5, hidden_dim=16,
                      enc_stack_way="deeper")
         bench_family("sanet")
+        bench_vgg_q8("sanet")
         bench_family("dynamic_sanet")
+        bench_vgg_q8("dynamic_sanet")
         bench_family("adain", rp_blocks=5, hidden_dim=32)
         bench_std_q8("adain", rp_blocks=5, hidden_dim=32)
         bench_family("sel_multi_adain", enc_stack_way="constant",
@@ -324,6 +390,7 @@ def main():
         bench_family("ld_adain4", hidden_dim=32, ld_layer_num=5)
         bench_family("ld_adain5", hidden_dim=32, ld_layer_num=5)
         bench_family("src", hidden_dim=32)
+        bench_vgg_q8("src", hidden_dim=32)
         bench_family("mrf")
         bench_family("spade")
         bench_family("seg_adain")

@@ -109,8 +109,9 @@ def main():
     fast_ok = bundle.q8_infer() if mode == "q8" else bundle.folded_infer()
     if mode in ("folded", "q8") and not fast_ok:
         logger.warning(f"--mode {mode} supports multi_adain/sel_multi_adain"
-                       "/ccam constant stacks (q8, folded) and adain/wct "
-                       "(q8); falling back to standard")
+                       "/ccam constant stacks (q8, folded), adain/wct (q8) "
+                       "and sanet/dynamic_sanet/src (q8); falling back to "
+                       "standard")
         mode = "standard"
 
     if args.mesh.isdigit():
@@ -180,6 +181,17 @@ def main():
             scales = calibrate_wct_q8(variables["params"], calib,
                                       calib_style, method=cfg.wct_method,
                                       wct_dtype=jnp.dtype(cfg.wct_dtype))
+        elif bundle.network in ("sanet", "dynamic_sanet"):
+            from rpst.models.fast_path_q8 import calibrate_sanet_q8
+            scales = calibrate_sanet_q8(
+                variables, vgg_vars, calib, calib_style,
+                adaptive=bundle.network == "dynamic_sanet",
+                ada_module=cfg.ada_module,
+                blockwise=cfg.get("adaptive_blockwise", "auto"))
+        elif bundle.network == "src":
+            from rpst.models.fast_path_q8 import calibrate_src_q8
+            scales = calibrate_src_q8(variables["params"], vgg_vars,
+                                      calib, calib_style)
         else:
             scales = calibrate_multi_adain_q8(variables["params"], calib,
                                               calib_style)
@@ -208,6 +220,17 @@ def main():
                                       content, style,
                                       method=cfg.wct_method,
                                       wct_dtype=jnp.dtype(cfg.wct_dtype))
+            if bundle.network in ("sanet", "dynamic_sanet"):
+                from rpst.models.fast_path_q8 import stylize_sanet_q8
+                return stylize_sanet_q8(
+                    params_and_extra, vgg_vars, scales, content, style,
+                    adaptive=bundle.network == "dynamic_sanet",
+                    ada_module=cfg.ada_module,
+                    blockwise=cfg.get("adaptive_blockwise", "auto"))
+            if bundle.network == "src":
+                from rpst.models.fast_path_q8 import stylize_src_q8
+                return stylize_src_q8(params_and_extra["params"], vgg_vars,
+                                      scales, content, style)
             return stylize_multi_adain_folded_q8(
                 params_and_extra["params"], scales, content, style)
         # folded mode routes through bundle.stylize (exec_strategy=folded

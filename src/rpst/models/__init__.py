@@ -85,12 +85,18 @@ class ModelBundle:
 
     def q8_infer(self) -> bool:
         """Families with an int8 PTQ serving path (fast_path_q8.py):
-        the folded constant-stack families, plus the adain/wct
-        wide-channel standard-layout path (ops/pallas/conv2d_q8)."""
+        the folded constant-stack families, the adain/wct wide-channel
+        standard-layout path, and the VGG-based families (chained-int8
+        VGG encode + int8 mirror decode, attention transform bf16) —
+        all on ops/pallas/conv2d_q8 or folded_conv_q8."""
         if self.network == "adain":
             return not self.cfg.use_mask
         if self.network == "wct":
             return True
+        if self.network in ("sanet", "dynamic_sanet"):
+            return True
+        if self.network == "src":
+            return not self.cfg.use_mask
         return (self.network in ("multi_adain", "sel_multi_adain", "ccam")
                 and self._folded_stack_ok())
 

@@ -568,9 +568,11 @@ def _stats_q8(q, scale, eps: float = 1e-5):
     return mean[:, None, None, :], std[:, None, None, :]
 
 
-def _make_conv_q_std(dtype, block_rows: int, interpret: bool):
-    """Standard-layout int8 conv closure (zero pad + relu — the
-    RPSequence block, nn/blocks.py:RPSequence)."""
+def _make_conv_q_std(dtype, block_rows: int, interpret: bool,
+                     pad_mode: str = "zero"):
+    """Standard-layout int8 conv closure: ``pad_mode='zero'`` + relu is
+    the RPSequence block (nn/blocks.py:RPSequence); ``'reflect'`` + relu
+    is the VGG / VGG-mirror-decoder block (nn/vgg.py, nn/decoder.py)."""
     from ..ops.pallas.conv2d_q8 import fused_conv2d_q8
 
     def conv_q(x_q, x_scale, k, b, out_scale=None):
@@ -580,13 +582,13 @@ def _make_conv_q_std(dtype, block_rows: int, interpret: bool):
         if out_scale is None:
             sc = jnp.stack([srow0, srow1, jnp.zeros_like(srow0)])
             return fused_conv2d_q8(x_q, w_q, sc, out_int8=False,
-                                   alpha=0.0, pad_mode="zero",
+                                   alpha=0.0, pad_mode=pad_mode,
                                    block_rows=block_rows,
                                    interpret=interpret).astype(dtype)
         srow2 = jnp.broadcast_to(jnp.float32(1.0 / out_scale), srow0.shape)
         sc = jnp.stack([srow0, srow1, srow2])
         return fused_conv2d_q8(x_q, w_q, sc, out_int8=True,
-                               alpha=0.0, pad_mode="zero",
+                               alpha=0.0, pad_mode=pad_mode,
                                block_rows=block_rows, interpret=interpret)
 
     return conv_q
@@ -754,4 +756,261 @@ def stylize_wct_q8(params, scales, content, style, method="closed-form",
 
     out = _decode_std_q8(dec, act_scales, it, fused.astype(dtype), dtype,
                          conv_q)
+    return out.astype(content.dtype)
+
+
+# ---------------------------------------------------------------------------
+# VGG-based families: sanet / dynamic_sanet (reference network/sanet.py:
+# 196-423) and src (reference network/base.py:562-649).  Their serving cost
+# is dominated by the frozen 5(4)-stage VGG encode of BOTH images plus the
+# VGG-mirror decoder — reflect-pad relu convs at 128..512 channels, exactly
+# the regime where the standard-layout int8 Pallas kernel measured
+# 1.9-2.6x XLA bf16 (BASELINE.md, tools/bench_conv2d_q8.py).  The attention
+# transform (f/g/h 1x1 convs + flash attention + merge conv) stays bf16:
+# the softmax attention is the style signal, and it is a small share of
+# the FLOPs.  Max pools and nearest upsamples commute with the symmetric
+# per-tensor quantizer, so the chain stays int8 across stage boundaries.
+
+
+class _ScaleStream:
+    """One ordered stream of activation scales, shared by the calibration
+    pass (``recording``: runs bf16, appends absmaxes) and the q8 pass
+    (replays the calibrated scales in the identical order).  Keeping both
+    passes on the same code path makes scale-order mismatches impossible."""
+
+    def __init__(self, scales=None):
+        self.scales = None if scales is None else np.asarray(scales,
+                                                             np.float32)
+        self.absmax: List[jnp.ndarray] = []
+        self._i = 0
+
+    @property
+    def recording(self) -> bool:
+        return self.scales is None
+
+    def take(self, ref):
+        """Next scale; in recording mode, derive it later from absmax(ref)."""
+        if self.recording:
+            self.absmax.append(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+            return None
+        s = float(self.scales[self._i])
+        self._i += 1
+        return s
+
+
+def _reflect_conv(x, k, b, dtype, act: bool = True):
+    if k.shape[0] > 1:
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b.astype(dtype)
+    return jnp.maximum(y, 0) if act else y
+
+
+def _maxpool2x_any(x):
+    """2x2/2 max pool on even inputs — dtype-agnostic (int8 pools exactly:
+    max commutes with the monotone symmetric quantizer)."""
+    n, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    return x.reshape(n, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+
+
+def _upsample2x_any(x):
+    """Nearest x2 (replication) — dtype-agnostic, exact on int8."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def _deq(q, scale, dtype):
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def _conv_chain_q8(convs, program, x, dtype, conv_q, st, taps=None):
+    """Drive a reflect+relu conv chain through the int8 kernel.
+
+    ``convs``: [(kernel, bias)]; ``program[i]`` = (pre, act) with pre in
+    {None, 'pool', 'up'} applied before conv i and act False only for a
+    final un-activated conv.  Lane-aligned convs run int8 (chained int8
+    while the NEXT conv is also aligned — pools/upsamples are transparent
+    to the chain); the rest run bf16 XLA.  ``taps``: indices whose
+    post-activation output is returned (dequantized) — returns (x, {i: t}).
+    In ``st.recording`` mode everything runs bf16 and the stream records
+    absmaxes at exactly the points the q8 replay consumes scales."""
+    taps = taps or ()
+    out_taps = {}
+    x = x.astype(dtype)
+    x_s = None      # replay mode: scale of the current int8 tensor
+    virt = False    # recording mode: replay would be int8 here
+    for li, (k, b) in enumerate(convs):
+        pre, act = program[li]
+        if pre == "pool":
+            x = _maxpool2x_any(x)
+        elif pre == "up":
+            x = _upsample2x_any(x)
+        eligible = _q8_eligible(k) and k.shape[0] == 3 and act
+        is_q = virt if st.recording else (x_s is not None)
+        if eligible:
+            if not is_q:
+                s = st.take(x)
+                if not st.recording:
+                    x, x_s = quantize_activations(x, s), s
+            nxt = convs[li + 1][0] if li + 1 < len(convs) else None
+            chain = (nxt is not None and program[li + 1][1]
+                     and _q8_eligible(nxt) and nxt.shape[0] == 3)
+            if st.recording:
+                x = _reflect_conv(x, k, b, dtype)
+                if chain:
+                    st.take(x)
+                virt = chain
+            elif chain:
+                out_s = st.take(None)
+                x, x_s = conv_q(x, x_s, k, b, out_scale=out_s), out_s
+            else:
+                x, x_s = conv_q(x, x_s, k, b), None
+        else:
+            if x_s is not None:
+                x, x_s = _deq(x, x_s, dtype), None
+            virt = False
+            x = _reflect_conv(x, k, b, dtype, act=act)
+        if li in taps:
+            out_taps[li] = _deq(x, x_s, dtype) if x_s is not None else x
+    if x_s is not None:
+        x = _deq(x, x_s, dtype)
+    return x, out_taps
+
+
+def _vgg_q8_layers(vgg_params, num_stages):
+    """(convs, program, tap_conv_indices) for the vgg_normalised encoder
+    (nn/vgg.py semantics: 1x1 head, reflect 3x3 relu convs, ceil pool
+    before the last conv of stages 2+; taps at relu{k}_1)."""
+    from ..nn.vgg import _STAGES
+    n_convs = 2 + sum(len(_STAGES[s]) for s in range(1, num_stages))
+    convs = [(vgg_params[f"conv_{i}"]["Conv_0"]["kernel"],
+              vgg_params[f"conv_{i}"]["Conv_0"]["bias"])
+             for i in range(n_convs)]
+    program = [(None, False), (None, True)]  # 1x1 head; conv->relu1_1
+    tap_idx = [1]
+    i = 2
+    for stage in range(2, num_stages + 1):
+        specs = _STAGES[stage - 1]
+        for j in range(len(specs)):
+            program.append(("pool" if j == len(specs) - 1 else None, True))
+            i += 1
+        tap_idx.append(i - 1)
+    return convs, program, tap_idx
+
+
+def _vgg_encode_q8(vgg_params, x, num_stages, dtype, conv_q, st):
+    """[relu1_1..relu{num_stages}_1] with the aligned VGG convs int8."""
+    convs, program, tap_idx = _vgg_q8_layers(vgg_params, num_stages)
+    _, taps = _conv_chain_q8(convs, program, x, dtype, conv_q, st,
+                             taps=tap_idx)
+    return [taps[i] for i in tap_idx]
+
+
+# VGG-mirror decoder program (nn/decoder.py): conv name -> (pre, act)
+_MIRROR_PROGRAM = [(None, True), ("up", True), (None, True), (None, True),
+                   (None, True), ("up", True), (None, True), ("up", True),
+                   (None, False)]
+
+
+def _mirror_decode_q8(dec_params, x, dtype, conv_q, st):
+    convs = [(dec_params[f"conv{i}"]["Conv_0"]["kernel"],
+              dec_params[f"conv{i}"]["Conv_0"]["bias"])
+             for i in range(9)]
+    out, _ = _conv_chain_q8(convs, _MIRROR_PROGRAM, x, dtype, conv_q, st)
+    return out
+
+
+def _sanet_transform_bf16(params, feats, n, adaptive, ada_module,
+                          blockwise, dtype):
+    """The attention transform on the (2N-batched) relu4_1/relu5_1 taps —
+    bf16 flax apply of the exact model submodules."""
+    from .sanet import AdaptiveTransform, Transform
+    c4, s4 = feats[3][:n], feats[3][n:]
+    c5, s5 = feats[4][:n], feats[4][n:]
+    if adaptive:
+        r4 = s4.shape[1] * s4.shape[2]
+        r5 = s5.shape[1] * s5.shape[2]
+        mod = AdaptiveTransform(512, r4, r5, ada_module, blockwise,
+                                dtype=dtype)
+        out, _aux = mod.apply({"params": params}, c4, s4, c5, s5)
+        return out
+    return Transform(512, dtype=dtype).apply({"params": params},
+                                             c4, s4, c5, s5)
+
+
+def _sanet_q8_pass(variables, vgg_vars, content, style, st, dtype,
+                   conv_q, adaptive, ada_module, blockwise):
+    n = content.shape[0]
+    x2 = jnp.concatenate([content, style], axis=0)
+    feats = _vgg_encode_q8(vgg_vars["params"], x2, 5, dtype, conv_q, st)
+    fusion = _sanet_transform_bf16(variables["params"]["transform"], feats,
+                                   n, adaptive, ada_module, blockwise, dtype)
+    return _mirror_decode_q8(variables["params"]["decoder"],
+                             fusion.astype(dtype), dtype, conv_q, st)
+
+
+def calibrate_sanet_q8(variables, vgg_vars, content, style,
+                       adaptive: bool = False, ada_module: str = "aea",
+                       blockwise: str = "auto") -> Dict[str, np.ndarray]:
+    """One bf16 calibration pass -> activation scales for
+    :func:`stylize_sanet_q8` (same code path, recording stream)."""
+    def collect(variables, vgg_vars, c, s):
+        st = _ScaleStream()
+        _sanet_q8_pass(variables, vgg_vars, c, s, st, jnp.bfloat16,
+                       None, adaptive, ada_module, blockwise)
+        return st.absmax
+
+    absmax = jax.jit(collect)(variables, vgg_vars, content, style)
+    return {"act_scales": np.asarray(
+        [max(float(a), 1e-6) / 127.0 for a in absmax], np.float32)}
+
+
+def stylize_sanet_q8(variables, vgg_vars, scales, content, style,
+                     adaptive: bool = False, ada_module: str = "aea",
+                     blockwise: str = "auto", dtype=jnp.bfloat16,
+                     block_rows: int = 16,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Int8 PTQ SANet serving (reference sanet.py:196-275 / 278-423):
+    chained-int8 VGG encode of both images (2N batch), bf16 attention
+    transform, int8 VGG-mirror decode."""
+    st = _ScaleStream(scales["act_scales"])
+    conv_q = _make_conv_q_std(dtype, block_rows, interpret, "reflect")
+    out = _sanet_q8_pass(variables, vgg_vars, content, style, st, dtype,
+                         conv_q, adaptive, ada_module, blockwise)
+    return out.astype(content.dtype)
+
+
+def _src_q8_pass(params, vgg_vars, content, style, st, dtype, conv_q):
+    from ..ops.stats import adaptive_instance_normalization as adain
+    n = content.shape[0]
+    x2 = jnp.concatenate([content, style], axis=0)
+    feats = _vgg_encode_q8(vgg_vars["params"], x2, 4, dtype, conv_q, st)
+    f4 = feats[3].astype(jnp.float32)
+    t = adain(f4[:n], f4[n:])
+    return _mirror_decode_q8(params["decoder"], t.astype(dtype), dtype,
+                             conv_q, st)
+
+
+def calibrate_src_q8(params, vgg_vars, content, style) -> Dict[str,
+                                                               np.ndarray]:
+    """Calibration scales for :func:`stylize_src_q8`."""
+    def collect(params, vgg_vars, c, s):
+        st = _ScaleStream()
+        _src_q8_pass(params, vgg_vars, c, s, st, jnp.bfloat16, None)
+        return st.absmax
+
+    absmax = jax.jit(collect)(params, vgg_vars, content, style)
+    return {"act_scales": np.asarray(
+        [max(float(a), 1e-6) / 127.0 for a in absmax], np.float32)}
+
+
+def stylize_src_q8(params, vgg_vars, scales, content, style,
+                   dtype=jnp.bfloat16, block_rows: int = 16,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Int8 PTQ SourceNet serving (reference base.py:562-649: VGG encode
+    both images to relu4_1, AdaIN fuse, VGG-mirror decode)."""
+    st = _ScaleStream(scales["act_scales"])
+    conv_q = _make_conv_q_std(dtype, block_rows, interpret, "reflect")
+    out = _src_q8_pass(params, vgg_vars, content, style, st, dtype, conv_q)
     return out.astype(content.dtype)

@@ -216,3 +216,81 @@ def test_fused_q8_kernel_stats(rng):
     np.testing.assert_allclose(np.asarray(s2),
                                np.asarray(jnp.sum(y * y, axis=(1, 2))),
                                rtol=1e-4, atol=1e-3)
+
+
+def _psnr(got, ref):
+    mse = float(np.mean((got - ref) ** 2))
+    span = float(ref.max() - ref.min()) or 1.0
+    return 10 * np.log10(span * span / max(mse, 1e-12))
+
+
+def test_q8_sanet_quality_vs_f32(rng):
+    """Int8 PTQ SANet serving (chained-int8 VGG encode + bf16 attention
+    transform + int8 mirror decode) stays close to the standard f32 path."""
+    from rpst.models.fast_path_q8 import calibrate_sanet_q8, stylize_sanet_q8
+
+    cfg = load_config(dict(network="sanet", img_size=32))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=5)
+    variables = bundle.init(key, content, style, vgg_vars)
+
+    ref = np.asarray(bundle.stylize(variables, vgg_vars, content, style))
+    scales = calibrate_sanet_q8(variables, vgg_vars, content, style)
+    # VGG: conv_4 input + conv_4..conv_12 chained outputs = 10;
+    # mirror decoder: conv0 input + conv0..conv4 chained outputs = 6
+    assert len(scales["act_scales"]) == 16
+    got = np.asarray(stylize_sanet_q8(variables, vgg_vars, scales,
+                                      content, style, dtype=jnp.float32,
+                                      interpret=True))
+    psnr = _psnr(got, ref)
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_q8_dynamic_sanet_quality_vs_f32(rng):
+    """Int8 PTQ adaptive-SANet serving matches the standard f32 path."""
+    from rpst.models.fast_path_q8 import calibrate_sanet_q8, stylize_sanet_q8
+
+    cfg = load_config(dict(network="dynamic_sanet", img_size=32,
+                           ada_module="aea"))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=5)
+    variables = bundle.init(key, content, style, vgg_vars)
+
+    ref = np.asarray(bundle.stylize(variables, vgg_vars, content, style))
+    scales = calibrate_sanet_q8(variables, vgg_vars, content, style,
+                                adaptive=True, ada_module="aea")
+    got = np.asarray(stylize_sanet_q8(variables, vgg_vars, scales,
+                                      content, style, adaptive=True,
+                                      ada_module="aea", dtype=jnp.float32,
+                                      interpret=True))
+    psnr = _psnr(got, ref)
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_q8_src_quality_vs_f32(rng):
+    """Int8 PTQ SourceNet serving matches the standard f32 path."""
+    from rpst.models.fast_path_q8 import calibrate_src_q8, stylize_src_q8
+
+    cfg = load_config(dict(network="src", img_size=32))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+
+    ref = np.asarray(bundle.stylize(variables, vgg_vars, content, style))
+    scales = calibrate_src_q8(variables["params"], vgg_vars, content, style)
+    # VGG 4 stages: conv_4 input + conv_4..conv_8 chained = 6; decoder 6
+    assert len(scales["act_scales"]) == 12
+    got = np.asarray(stylize_src_q8(variables["params"], vgg_vars, scales,
+                                    content, style, dtype=jnp.float32,
+                                    interpret=True))
+    psnr = _psnr(got, ref)
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
