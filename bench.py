@@ -179,7 +179,7 @@ def bench_family(network: str, batches=(1, 4), img=IMG, **cfg_over):
 
 
 def bench_std_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
-    """adain/wct int8 PTQ serving (standard-layout wide-channel Pallas
+    """adain/wct/mrf int8 PTQ serving (standard-layout wide-channel Pallas
     kernel, fast_path_q8.stylize_adain_q8 / stylize_wct_q8) — stderr
     only."""
     from functools import partial
@@ -192,6 +192,9 @@ def bench_std_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
     if network == "wct":
         calibrate = partial(q8.calibrate_wct_q8, method=cfg.wct_method)
         stylize = partial(q8.stylize_wct_q8, method=cfg.wct_method)
+    elif network == "mrf":
+        calibrate = q8.calibrate_mrf_q8
+        stylize = q8.stylize_mrf_q8
     else:
         calibrate = q8.calibrate_adain_q8
         stylize = q8.stylize_adain_q8
@@ -392,6 +395,7 @@ def main():
         bench_family("src", hidden_dim=32)
         bench_vgg_q8("src", hidden_dim=32)
         bench_family("mrf")
+        bench_std_q8("mrf")
         bench_family("spade")
         bench_family("seg_adain")
         bench_family("dynamic_sanet", batches=(1,), img=1024)

@@ -109,9 +109,9 @@ def main():
     fast_ok = bundle.q8_infer() if mode == "q8" else bundle.folded_infer()
     if mode in ("folded", "q8") and not fast_ok:
         logger.warning(f"--mode {mode} supports multi_adain/sel_multi_adain"
-                       "/ccam constant stacks (q8, folded), adain/wct (q8) "
-                       "and sanet/dynamic_sanet/src (q8); falling back to "
-                       "standard")
+                       "/ccam constant stacks (q8, folded), adain/wct/mrf "
+                       "(q8) and sanet/dynamic_sanet/src (q8); falling "
+                       "back to standard")
         mode = "standard"
 
     if args.mesh.isdigit():
@@ -192,6 +192,10 @@ def main():
             from rpst.models.fast_path_q8 import calibrate_src_q8
             scales = calibrate_src_q8(variables["params"], vgg_vars,
                                       calib, calib_style)
+        elif bundle.network == "mrf":
+            from rpst.models.fast_path_q8 import calibrate_mrf_q8
+            scales = calibrate_mrf_q8(variables["params"], calib,
+                                      calib_style)
         else:
             scales = calibrate_multi_adain_q8(variables["params"], calib,
                                               calib_style)
@@ -231,6 +235,10 @@ def main():
                 from rpst.models.fast_path_q8 import stylize_src_q8
                 return stylize_src_q8(params_and_extra["params"], vgg_vars,
                                       scales, content, style)
+            if bundle.network == "mrf":
+                from rpst.models.fast_path_q8 import stylize_mrf_q8
+                return stylize_mrf_q8(params_and_extra["params"], scales,
+                                      content, style)
             return stylize_multi_adain_folded_q8(
                 params_and_extra["params"], scales, content, style)
         # folded mode routes through bundle.stylize (exec_strategy=folded

@@ -93,7 +93,7 @@ class ModelBundle:
             return not self.cfg.use_mask
         if self.network == "wct":
             return True
-        if self.network in ("sanet", "dynamic_sanet"):
+        if self.network in ("sanet", "dynamic_sanet", "mrf"):
             return True
         if self.network == "src":
             return not self.cfg.use_mask

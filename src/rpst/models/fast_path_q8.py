@@ -759,6 +759,63 @@ def stylize_wct_q8(params, scales, content, style, method="closed-form",
     return out.astype(content.dtype)
 
 
+def _mrf_stacks(params):
+    return (_rp_sequence_convs(params, "rp_content_encoder"),
+            _rp_sequence_convs(params, "rp_style_encoder"),
+            _rp_sequence_convs(params, "rp_decoder"))
+
+
+def calibrate_mrf_q8(params, content, style) -> Dict[str, np.ndarray]:
+    """Calibration absmaxes for :func:`stylize_mrf_q8` (content-encoder
+    scales, then style-encoder scales, then decoder scales — the exact
+    order the q8 pass consumes them)."""
+    def collect(p, c, s):
+        enc_c, enc_s, dec = _mrf_stacks(p)
+        ident = lambda f: f
+        cf, a_c = _collect_rp_sequence(enc_c, [], c.astype(jnp.bfloat16),
+                                       ident, jnp.bfloat16)
+        sf, a_s = _collect_rp_sequence(enc_s, [], s.astype(jnp.bfloat16),
+                                       ident, jnp.bfloat16)
+        fused = jnp.concatenate([cf, sf], axis=-1)
+        _, a_d = _collect_rp_sequence([], dec, fused, ident, jnp.bfloat16)
+        return a_c + a_s + a_d
+
+    absmax = jax.jit(collect)(params, content, style)
+    return {"act_scales": np.asarray(
+        [max(float(a), 1e-6) / 127.0 for a in absmax], np.float32)}
+
+
+def stylize_mrf_q8(params, scales, content, style, dtype=jnp.bfloat16,
+                   block_rows: int = 16,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Int8 PTQ MRFRP serving (reference mrf_rp.py:63-108 semantics: two
+    increasing-depth RP encoders, channel-concat fuse, decreasing-depth
+    RP decoder — all stride-1 full-resolution zero-pad relu convs).
+
+    The lane-aligned layers carry nearly all the MACs at the default
+    h32/rp5 (128->256->512 encode tails of both encoders, the
+    1024->512->256->128 decode head) and run the standard-layout int8
+    kernel chained int8->int8; the narrow boundary layers run bf16 XLA.
+    The two encoders have distinct parameters (unlike adain's shared
+    stack), so content and style encode separately."""
+    enc_c, enc_s, dec = _mrf_stacks(params)
+    act_scales = np.asarray(scales["act_scales"], np.float32)
+    it = iter(range(len(act_scales)))
+    conv_q = _make_conv_q_std(dtype, block_rows, interpret)
+
+    cf, c_s = _encode_std_q8(enc_c, act_scales, it, content.astype(dtype),
+                             dtype, conv_q)
+    if c_s is not None:
+        cf = _deq(cf, c_s, dtype)
+    sf, s_s = _encode_std_q8(enc_s, act_scales, it, style.astype(dtype),
+                             dtype, conv_q)
+    if s_s is not None:
+        sf = _deq(sf, s_s, dtype)
+    fused = jnp.concatenate([cf, sf], axis=-1)
+    out = _decode_std_q8(dec, act_scales, it, fused, dtype, conv_q)
+    return out.astype(content.dtype)
+
+
 # ---------------------------------------------------------------------------
 # VGG-based families: sanet / dynamic_sanet (reference network/sanet.py:
 # 196-423) and src (reference network/base.py:562-649).  Their serving cost

@@ -294,3 +294,30 @@ def test_q8_src_quality_vs_f32(rng):
                                     interpret=True))
     psnr = _psnr(got, ref)
     assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_q8_mrf_quality_vs_f32(rng):
+    """Int8 PTQ MRFRP serving (two int8 RP encoders, channel-concat,
+    int8 decode head) stays close to the standard f32 path."""
+    from rpst.models.fast_path_q8 import calibrate_mrf_q8, stylize_mrf_q8
+
+    cfg = load_config(dict(network="mrf", img_size=32))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+    params = variables["params"]
+
+    ref = np.asarray(bundle.model.apply(
+        {"params": params}, content, style, train=False))
+    scales = calibrate_mrf_q8(params, content, style)
+    # h32/rp5 per encoder: input of (128,256) + outputs of the two
+    # eligible tail layers = 3 (x2 encoders); decoder: inputs of
+    # (1024,512), (512,256), (256,128) = 3
+    assert len(scales["act_scales"]) == 9
+    got = np.asarray(stylize_mrf_q8(params, scales, content, style,
+                                    dtype=jnp.float32, interpret=True))
+    psnr = _psnr(got, ref)
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
