@@ -195,6 +195,11 @@ def bench_std_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
     elif network == "mrf":
         calibrate = q8.calibrate_mrf_q8
         stylize = q8.stylize_mrf_q8
+    elif network == "seg_adain":
+        calibrate = lambda p, c, s: q8.calibrate_adain_q8(
+            p["adain_rp"], c, s)
+        stylize = lambda p, sc, c, s: q8.stylize_adain_q8(
+            p["adain_rp"], sc, c, s)
     else:
         calibrate = q8.calibrate_adain_q8
         stylize = q8.stylize_adain_q8
@@ -398,6 +403,7 @@ def main():
         bench_std_q8("mrf")
         bench_family("spade")
         bench_family("seg_adain")
+        bench_std_q8("seg_adain")
         bench_family("dynamic_sanet", batches=(1,), img=1024)
         bench_family("multi_adain", batches=(1, 4), img=1024,
                      enc_stack_way="constant", rp_blocks=5, hidden_dim=32,

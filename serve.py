@@ -176,6 +176,9 @@ def main():
         elif bundle.network == "adain":
             scales = calibrate_adain_q8(variables["params"], calib,
                                         calib_style)
+        elif bundle.network == "seg_adain":
+            scales = calibrate_adain_q8(variables["params"]["adain_rp"],
+                                        calib, calib_style)
         elif bundle.network == "wct":
             from rpst.models.fast_path_q8 import calibrate_wct_q8
             scales = calibrate_wct_q8(variables["params"], calib,
@@ -218,6 +221,10 @@ def main():
             if bundle.network == "adain":
                 return stylize_adain_q8(params_and_extra["params"],
                                         scales, content, style)
+            if bundle.network == "seg_adain":
+                return stylize_adain_q8(
+                    params_and_extra["params"]["adain_rp"],
+                    scales, content, style)
             if bundle.network == "wct":
                 from rpst.models.fast_path_q8 import stylize_wct_q8
                 return stylize_wct_q8(params_and_extra["params"], scales,

@@ -95,6 +95,11 @@ class ModelBundle:
             return True
         if self.network in ("sanet", "dynamic_sanet", "mrf"):
             return True
+        if self.network == "seg_adain":
+            # SegAdaINRP's stylize forward IS AdaINRP (masks only enter
+            # its optional training seg loss) — reuse the adain q8 path
+            # on the nested ``adain_rp`` param subtree
+            return True
         if self.network == "src":
             return not self.cfg.use_mask
         return (self.network in ("multi_adain", "sel_multi_adain", "ccam")

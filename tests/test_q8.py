@@ -321,3 +321,26 @@ def test_q8_mrf_quality_vs_f32(rng):
                                     dtype=jnp.float32, interpret=True))
     psnr = _psnr(got, ref)
     assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_q8_seg_adain_quality_vs_f32(rng):
+    """seg_adain serving == AdaINRP on the nested adain_rp subtree; the
+    adain q8 path applies unchanged."""
+    from rpst.models.fast_path_q8 import (calibrate_adain_q8,
+                                          stylize_adain_q8)
+
+    cfg = load_config(dict(network="seg_adain", img_size=32))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+    params = variables["params"]["adain_rp"]
+
+    ref = np.asarray(bundle.stylize(variables, vgg_vars, content, style))
+    scales = calibrate_adain_q8(params, content, style)
+    got = np.asarray(stylize_adain_q8(params, scales, content, style,
+                                      dtype=jnp.float32, interpret=True))
+    psnr = _psnr(got, ref)
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
