@@ -113,6 +113,9 @@ def main():
                        "(q8) and sanet/dynamic_sanet/src (q8); falling "
                        "back to standard")
         mode = "standard"
+    # On the CPU backend (tests, dry runs) the int8 Pallas kernels run in
+    # interpret mode; on TPU they compile natively.
+    q8_interpret = jax.default_backend() == "cpu"
 
     if args.mesh.isdigit():
         mesh_shape = {"data": int(args.mesh)}
@@ -213,41 +216,49 @@ def main():
                 stylize_sel_multi_adain_folded_q8)
             if bundle.network == "sel_multi_adain":
                 return stylize_sel_multi_adain_folded_q8(
-                    params_and_extra, scales, content, style)
+                    params_and_extra, scales, content, style,
+                    interpret=q8_interpret)
             if bundle.network == "ccam":
                 return stylize_ccam_folded_q8(
                     params_and_extra, scales, content, style,
-                    stylized_layers=cfg.stylized_layers)
+                    stylized_layers=cfg.stylized_layers,
+                    interpret=q8_interpret)
             if bundle.network == "adain":
                 return stylize_adain_q8(params_and_extra["params"],
-                                        scales, content, style)
+                                        scales, content, style,
+                                        interpret=q8_interpret)
             if bundle.network == "seg_adain":
                 return stylize_adain_q8(
                     params_and_extra["params"]["adain_rp"],
-                    scales, content, style)
+                    scales, content, style, interpret=q8_interpret)
             if bundle.network == "wct":
                 from rpst.models.fast_path_q8 import stylize_wct_q8
                 return stylize_wct_q8(params_and_extra["params"], scales,
                                       content, style,
                                       method=cfg.wct_method,
-                                      wct_dtype=jnp.dtype(cfg.wct_dtype))
+                                      wct_dtype=jnp.dtype(cfg.wct_dtype),
+                                      interpret=q8_interpret)
             if bundle.network in ("sanet", "dynamic_sanet"):
                 from rpst.models.fast_path_q8 import stylize_sanet_q8
                 return stylize_sanet_q8(
                     params_and_extra, vgg_vars, scales, content, style,
                     adaptive=bundle.network == "dynamic_sanet",
                     ada_module=cfg.ada_module,
-                    blockwise=cfg.get("adaptive_blockwise", "auto"))
+                    blockwise=cfg.get("adaptive_blockwise", "auto"),
+                    interpret=q8_interpret)
             if bundle.network == "src":
                 from rpst.models.fast_path_q8 import stylize_src_q8
                 return stylize_src_q8(params_and_extra["params"], vgg_vars,
-                                      scales, content, style)
+                                      scales, content, style,
+                                      interpret=q8_interpret)
             if bundle.network == "mrf":
                 from rpst.models.fast_path_q8 import stylize_mrf_q8
                 return stylize_mrf_q8(params_and_extra["params"], scales,
-                                      content, style)
+                                      content, style,
+                                      interpret=q8_interpret)
             return stylize_multi_adain_folded_q8(
-                params_and_extra["params"], scales, content, style)
+                params_and_extra["params"], scales, content, style,
+                interpret=q8_interpret)
         # folded mode routes through bundle.stylize (exec_strategy=folded
         # picks the family's folded fast path; standard stays standard)
         return bundle.stylize(params_and_extra, vgg_vars, content, style)

@@ -172,3 +172,28 @@ def test_serve_cli_spatial_mesh(trained, tmp_path):
     for a, b in zip(singles, spatials):
         ia, ib = np.asarray(Image.open(a)), np.asarray(Image.open(b))
         assert np.abs(ia.astype(int) - ib.astype(int)).max() <= 1, a.name
+
+
+@pytest.mark.parametrize("net,over", [
+    ("adain", {"hidden_dim": 32, "rp_blocks": 5}),
+    ("sanet", {}),
+    ("mrf", {"hidden_dim": 32, "rp_blocks": 5}),
+])
+def test_serve_cli_q8(tmp_path, net, over):
+    """--mode q8 through the CLI on the CPU backend (the serve driver
+    auto-selects interpret mode for the int8 Pallas kernels off-TPU) —
+    covers the per-family calibrate/stylize dispatch with random params
+    (no checkpoint)."""
+    data = tmp_path / "data"
+    _make_data(data)
+    cfg = tmp_path / f"{net}.yaml"
+    _write_cfg(cfg, data, tmp_path / f"out_{net}", network=net, **over)
+    dst = tmp_path / f"served_q8_{net}"
+    r = _run("serve.py", "--config", str(cfg),
+             "--content", str(data / "content"),
+             "--style", str(data / "style" / "00.png"),
+             "--out", str(dst), "--mode", "q8", "--batch", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "falling back to standard" not in r.stderr + r.stdout
+    outs = list(dst.glob("*.png"))
+    assert len(outs) == 2, outs
