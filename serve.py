@@ -202,6 +202,12 @@ def main():
             from rpst.models.fast_path_q8 import calibrate_mrf_q8
             scales = calibrate_mrf_q8(variables["params"], calib,
                                       calib_style)
+        elif bundle.network == "mst":
+            from rpst.models.fast_path_q8 import calibrate_mst_q8
+            scales = calibrate_mst_q8(
+                variables["params"], calib, calib_style,
+                stylized_layers=cfg.stylized_layers,
+                n_clusters=cfg.n_clusters, mst_lambda=cfg.mst_lambda)
         else:
             scales = calibrate_multi_adain_q8(variables["params"], calib,
                                               calib_style)
@@ -256,6 +262,13 @@ def main():
                 return stylize_mrf_q8(params_and_extra["params"], scales,
                                       content, style,
                                       interpret=q8_interpret)
+            if bundle.network == "mst":
+                from rpst.models.fast_path_q8 import stylize_mst_folded_q8
+                return stylize_mst_folded_q8(
+                    params_and_extra["params"], scales, content, style,
+                    stylized_layers=cfg.stylized_layers,
+                    n_clusters=cfg.n_clusters, mst_lambda=cfg.mst_lambda,
+                    interpret=q8_interpret)
             return stylize_multi_adain_folded_q8(
                 params_and_extra["params"], scales, content, style,
                 interpret=q8_interpret)

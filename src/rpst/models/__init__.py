@@ -102,7 +102,8 @@ class ModelBundle:
             return True
         if self.network == "src":
             return not self.cfg.use_mask
-        return (self.network in ("multi_adain", "sel_multi_adain", "ccam")
+        return (self.network in ("multi_adain", "sel_multi_adain", "ccam",
+                                 "mst")
                 and self._folded_stack_ok())
 
     def _folded_dtype(self):

@@ -759,6 +759,118 @@ def stylize_wct_q8(params, scales, content, style, method="closed-form",
     return out.astype(content.dtype)
 
 
+def _mst_fuse_f32(cf_f, sf_f, n_clusters: int, lam: float):
+    """MST transform on folded f32 features: the k-means/graph-cut chain
+    is raster-order sensitive, so unfold just for the transform (exactly
+    as the bf16 folded path does, fast_path.py::stylize_mst_folded)."""
+    from ..ops.mst import mst_transfer_batch
+    out = mst_transfer_batch(unfold(cf_f).astype(jnp.float32),
+                             unfold(sf_f).astype(jnp.float32),
+                             n_clusters, lam)
+    return fold(out)
+
+
+def calibrate_mst_q8(params, content, style, stylized_layers: int = 1,
+                     n_clusters: int = 3,
+                     mst_lambda: float = 0.0) -> Dict[str, np.ndarray]:
+    """Calibration absmaxes for :func:`stylize_mst_folded_q8` — encoder
+    chain scales for both images, then each eligible decoder conv's
+    input scale, in consumption order."""
+    dtype = jnp.bfloat16
+
+    def collect(p, content, style):
+        enc = _folded_blocks(p["ms"]["rp_shared_encoder"])
+        dec = _folded_blocks(p["ms"]["rp_decoder"])
+        absmax: List[jnp.ndarray] = []
+
+        def conv(x, k, b):
+            return _lrelu(folded_conv(x, k.astype(dtype), b.astype(dtype)))
+
+        def encode(img):
+            x = fold(img.astype(dtype))
+            feats = []
+            for li, (k, b) in enumerate(enc):
+                x = conv(x, k, b)
+                nxt_eligible = (li + 1 < len(enc)
+                                and _q8_eligible(enc[li + 1][0]))
+                if nxt_eligible or (li == len(enc) - 1
+                                    and _q8_eligible(k)):
+                    absmax.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+                feats.append(x)
+            return feats
+
+        c_feats = encode(content)
+        s_feats = encode(style)
+        stylized = _mst_fuse_f32(c_feats[-1].astype(jnp.float32),
+                                 s_feats[-1].astype(jnp.float32),
+                                 n_clusters, mst_lambda)
+        k, b = dec[0]
+        if _q8_eligible(k):
+            absmax.append(jnp.max(jnp.abs(stylized)))
+        stylized = conv(stylized.astype(dtype), k, b)
+        pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+        for i, (_, sf) in enumerate(pairs):
+            if i + 1 < stylized_layers:
+                stylized = _mst_fuse_f32(stylized.astype(jnp.float32),
+                                         sf.astype(jnp.float32),
+                                         n_clusters, mst_lambda)
+            k, b = dec[i + 1]
+            if _q8_eligible(k):
+                absmax.append(jnp.max(jnp.abs(stylized
+                                              .astype(jnp.float32))))
+            stylized = conv(stylized.astype(dtype), k, b)
+        return absmax
+
+    absmax = jax.jit(collect)(params, content, style)
+    return {"act_scales": np.asarray(
+        [max(float(a), 1e-6) / 127.0 for a in absmax], np.float32)}
+
+
+def stylize_mst_folded_q8(params, scales, content, style,
+                          stylized_layers: int = 1, n_clusters: int = 3,
+                          mst_lambda: float = 0.0, dtype=jnp.bfloat16,
+                          block_rows: int = 16,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Int8 PTQ MSTRP serving (reference adain_rp.py:425-448 semantics,
+    k-means + graph-cut label transfer from utils/mst.py): chained-int8
+    folded encode of both images; the MST transform itself stays f32 on
+    raster-order features (it is an eigendecomposition + assignment
+    chain, not conv work); decoder convs run the folded int8 kernel."""
+    enc = _folded_blocks(params["ms"]["rp_shared_encoder"])
+    dec = _folded_blocks(params["ms"]["rp_decoder"])
+    act_scales = np.asarray(scales["act_scales"], np.float32)
+    it = iter(range(len(act_scales)))
+    conv_q = _make_conv_q(dtype, block_rows, interpret)
+
+    c_feats = _encode_q8(enc, act_scales, it, content, dtype, conv_q)
+    s_feats = _encode_q8(enc, act_scales, it, style, dtype, conv_q)
+
+    def _deq_f(pair):
+        q, s = pair
+        x = q.astype(jnp.float32)
+        return x * s if s is not None else x
+
+    def _dec_conv(x_f32, k, b):
+        if _q8_eligible(k):
+            s_in = float(act_scales[next(it)])
+            return conv_q(quantize_activations(x_f32, s_in), s_in, k, b)
+        return _lrelu(folded_conv(x_f32.astype(dtype), k.astype(dtype),
+                                  b.astype(dtype)))
+
+    stylized = _mst_fuse_f32(_deq_f(c_feats[-1]), _deq_f(s_feats[-1]),
+                             n_clusters, mst_lambda)
+    k, b = dec[0]
+    stylized = _dec_conv(stylized, k, b)
+    pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+    for i, (_, sf) in enumerate(pairs):
+        if i + 1 < stylized_layers:
+            stylized = _mst_fuse_f32(stylized.astype(jnp.float32),
+                                     _deq_f(sf), n_clusters, mst_lambda)
+        k, b = dec[i + 1]
+        stylized = _dec_conv(stylized.astype(jnp.float32), k, b)
+    return unfold(stylized).astype(content.dtype)
+
+
 def _mrf_stacks(params):
     return (_rp_sequence_convs(params, "rp_content_encoder"),
             _rp_sequence_convs(params, "rp_style_encoder"),

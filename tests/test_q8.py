@@ -344,3 +344,32 @@ def test_q8_seg_adain_quality_vs_f32(rng):
                                       dtype=jnp.float32, interpret=True))
     psnr = _psnr(got, ref)
     assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_q8_mst_quality_vs_f32(rng):
+    """Int8 PTQ MSTRP serving: chained-int8 folded encode, f32 MST
+    transform (k-means + graph-cut stays full precision), int8 decode.
+    The discrete label transfer may flip borderline assignments under
+    int8 feature noise, so the tolerance is looser than the pure-conv
+    families."""
+    from rpst.models.fast_path_q8 import (calibrate_mst_q8,
+                                          stylize_mst_folded_q8)
+
+    cfg = load_config(dict(network="mst", enc_stack_way="constant",
+                           rp_blocks=3, hidden_dim=32, img_size=32,
+                           stylized_layers=1, n_clusters=2))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+
+    ref = np.asarray(bundle.stylize(variables, vgg_vars, content, style))
+    scales = calibrate_mst_q8(variables["params"], content, style,
+                              stylized_layers=1, n_clusters=2)
+    got = np.asarray(stylize_mst_folded_q8(
+        variables["params"], scales, content, style, stylized_layers=1,
+        n_clusters=2, dtype=jnp.float32, interpret=True))
+    psnr = _psnr(got, ref)
+    assert psnr > 25.0, f"PSNR {psnr:.1f} dB"
