@@ -11,10 +11,11 @@ at a fixed image size, pick the execution strategy by flag:
   * ``--mode folded``  exact bf16 space-to-depth execution,
   * ``--mode standard``the plain model path (any network).
 
-q8 and folded cover multi_adain, sel_multi_adain and ccam (plain
-constant stacks); q8 additionally covers adain and wct (wide-channel
-standard-layout int8 kernel); other networks fall back to standard
-automatically.
+folded covers the constant-stack families (multi_adain,
+sel_multi_adain, ccam, mst); q8 covers those plus adain, seg_adain, wct,
+mrf, spade (wide-channel standard-layout int8 kernel) and sanet,
+dynamic_sanet, src (chained-int8 VGG encode + int8 mirror decode); other
+networks fall back to standard automatically.
 
 ``--mesh N`` serves data-parallel over the first N devices (batch sharded
 on a ``data`` axis; params replicated); ``--mesh data=2,spatial=2`` adds
@@ -108,10 +109,9 @@ def main():
     mode = args.mode
     fast_ok = bundle.q8_infer() if mode == "q8" else bundle.folded_infer()
     if mode in ("folded", "q8") and not fast_ok:
-        logger.warning(f"--mode {mode} supports multi_adain/sel_multi_adain"
-                       "/ccam constant stacks (q8, folded), adain/wct/mrf "
-                       "(q8) and sanet/dynamic_sanet/src (q8); falling "
-                       "back to standard")
+        logger.warning(f"--mode {mode} is unsupported for this network/"
+                       "config (coverage: module docstring); falling back "
+                       "to standard")
         mode = "standard"
     # On the CPU backend (tests, dry runs) the int8 Pallas kernels run in
     # interpret mode; on TPU they compile natively.
@@ -208,6 +208,10 @@ def main():
                 variables["params"], calib, calib_style,
                 stylized_layers=cfg.stylized_layers,
                 n_clusters=cfg.n_clusters, mst_lambda=cfg.mst_lambda)
+        elif bundle.network == "spade":
+            from rpst.models.fast_path_q8 import calibrate_spade_q8
+            scales = calibrate_spade_q8(variables["params"], calib,
+                                        calib_style)
         else:
             scales = calibrate_multi_adain_q8(variables["params"], calib,
                                               calib_style)
@@ -268,6 +272,12 @@ def main():
                     params_and_extra["params"], scales, content, style,
                     stylized_layers=cfg.stylized_layers,
                     n_clusters=cfg.n_clusters, mst_lambda=cfg.mst_lambda,
+                    interpret=q8_interpret)
+            if bundle.network == "spade":
+                from rpst.models.fast_path_q8 import stylize_spade_q8
+                return stylize_spade_q8(
+                    params_and_extra["params"], scales, content, style,
+                    ndf=cfg.ndf, spade_norm=cfg.spade_norm,
                     interpret=q8_interpret)
             return stylize_multi_adain_folded_q8(
                 params_and_extra["params"], scales, content, style,

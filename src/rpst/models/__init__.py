@@ -102,6 +102,10 @@ class ModelBundle:
             return True
         if self.network == "src":
             return not self.cfg.use_mask
+        if self.network == "spade":
+            # int8 encoders + bf16 SPADE generator; the syncbatch variant
+            # carries batch_stats the serving path doesn't thread
+            return self.cfg.spade_norm == "instance"
         return (self.network in ("multi_adain", "sel_multi_adain", "ccam",
                                  "mst")
                 and self._folded_stack_ok())

@@ -759,6 +759,60 @@ def stylize_wct_q8(params, scales, content, style, method="closed-form",
     return out.astype(content.dtype)
 
 
+def calibrate_spade_q8(params, content, style) -> Dict[str, np.ndarray]:
+    """Calibration absmaxes for :func:`stylize_spade_q8` (content-encoder
+    scales then style-encoder scales; the SPADE generator stays bf16)."""
+    def collect(p, c, s):
+        ident = lambda f: f
+        _, a_c = _collect_rp_sequence(
+            _rp_sequence_convs(p, "rp_content_encoder"), [],
+            c.astype(jnp.bfloat16), ident, jnp.bfloat16)
+        _, a_s = _collect_rp_sequence(
+            _rp_sequence_convs(p, "rp_style_encoder"), [],
+            s.astype(jnp.bfloat16), ident, jnp.bfloat16)
+        return a_c + a_s
+
+    absmax = jax.jit(collect)(params, content, style)
+    return {"act_scales": np.asarray(
+        [max(float(a), 1e-6) / 127.0 for a in absmax], np.float32)}
+
+
+def stylize_spade_q8(params, scales, content, style, ndf: int = 2,
+                     spade_norm: str = "instance", dtype=jnp.bfloat16,
+                     block_rows: int = 16,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Int8 PTQ SpadeRP serving (reference spade_rp.py:149-247: two
+    increasing-depth RP encoders, SPADE generator decoding the *style*
+    features conditioned on the *content* features).
+
+    At the default ndf=2 the generator is a sliver of the FLOPs — the
+    cost is the two full-resolution increase stacks (128->256->512
+    tails), which run the standard-layout int8 kernel chained
+    int8->int8. The SPADE blocks (normalization-modulated convs) stay
+    bf16 flax."""
+    from ..nn.spade import SpadeDecoder
+
+    enc_c = _rp_sequence_convs(params, "rp_content_encoder")
+    enc_s = _rp_sequence_convs(params, "rp_style_encoder")
+    act_scales = np.asarray(scales["act_scales"], np.float32)
+    it = iter(range(len(act_scales)))
+    conv_q = _make_conv_q_std(dtype, block_rows, interpret)
+
+    cf, c_s = _encode_std_q8(enc_c, act_scales, it, content.astype(dtype),
+                             dtype, conv_q)
+    if c_s is not None:
+        cf = _deq(cf, c_s, dtype)
+    sf, s_s = _encode_std_q8(enc_s, act_scales, it, style.astype(dtype),
+                             dtype, conv_q)
+    if s_s is not None:
+        sf = _deq(sf, s_s, dtype)
+
+    dec = SpadeDecoder(ndf=ndf, spade_norm=spade_norm,
+                       condition_nc=enc_c[-1][0].shape[3], dtype=dtype)
+    out = dec.apply({"params": params["rp_decoder"]}, sf, cf, train=False)
+    return out.astype(content.dtype)
+
+
 def _mst_fuse_f32(cf_f, sf_f, n_clusters: int, lam: float):
     """MST transform on folded f32 features: the k-means/graph-cut chain
     is raster-order sensitive, so unfold just for the transform (exactly

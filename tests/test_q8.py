@@ -373,3 +373,31 @@ def test_q8_mst_quality_vs_f32(rng):
         n_clusters=2, dtype=jnp.float32, interpret=True))
     psnr = _psnr(got, ref)
     assert psnr > 25.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_q8_spade_quality_vs_f32(rng):
+    """Int8 PTQ SpadeRP serving (int8 encoders, bf16 SPADE generator)
+    stays close to the standard f32 path."""
+    from rpst.models.fast_path_q8 import (calibrate_spade_q8,
+                                          stylize_spade_q8)
+
+    cfg = load_config(dict(network="spade", img_size=32))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+    params = variables["params"]
+
+    ref = np.asarray(bundle.stylize(variables, vgg_vars, content, style))
+    scales = calibrate_spade_q8(params, content, style)
+    # 3 scales per encoder at h32/rp5 (input of (128,256) + the two
+    # eligible tail outputs)
+    assert len(scales["act_scales"]) == 6
+    got = np.asarray(stylize_spade_q8(params, scales, content, style,
+                                      ndf=cfg.ndf,
+                                      spade_norm=cfg.spade_norm,
+                                      dtype=jnp.float32, interpret=True))
+    psnr = _psnr(got, ref)
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
