@@ -64,7 +64,10 @@ def main():
     parser.add_argument("--style", required=True)
     parser.add_argument("--out", required=True)
     parser.add_argument("--mode", default="folded",
-                        choices=["standard", "folded", "q8"])
+                        choices=["standard", "folded", "q8", "auto"],
+                        help="execution strategy; 'auto' picks the "
+                        "fastest path this network supports "
+                        "(q8 > folded > standard)")
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--mesh", type=str, default="1",
                         help="device mesh: N (data-parallel over N devices) "
@@ -107,6 +110,10 @@ def main():
                  **jax.device_get(state.extra)}
 
     mode = args.mode
+    if mode == "auto":
+        mode = ("q8" if bundle.q8_infer()
+                else "folded" if bundle.folded_infer() else "standard")
+        logger.info(f"--mode auto resolved to {mode}")
     fast_ok = bundle.q8_infer() if mode == "q8" else bundle.folded_infer()
     if mode in ("folded", "q8") and not fast_ok:
         logger.warning(f"--mode {mode} is unsupported for this network/"

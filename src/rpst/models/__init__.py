@@ -106,9 +106,12 @@ class ModelBundle:
             # int8 encoders + bf16 SPADE generator; the syncbatch variant
             # carries batch_stats the serving path doesn't thread
             return self.cfg.spade_norm == "instance"
+        # folded int8 kernels need 128-lane alignment (4*hidden_dim);
+        # narrower stacks should serve folded bf16 instead
         return (self.network in ("multi_adain", "sel_multi_adain", "ccam",
                                  "mst")
-                and self._folded_stack_ok())
+                and self._folded_stack_ok()
+                and (self.cfg.hidden_dim * 4) % 128 == 0)
 
     def _folded_dtype(self):
         return (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"

@@ -179,6 +179,12 @@ def _encode_q8(enc, act_scales, it, img, dtype, conv_q,
     for li, (k, b) in enumerate(enc):
         st = None
         if not _q8_eligible(k):
+            if isinstance(x, tuple):
+                # previous layer left a (tensor, scale-or-None) pair:
+                # dequantize (or unwrap) before the bf16 XLA conv
+                q, s = x
+                x = (q.astype(jnp.float32) * s).astype(dtype) \
+                    if s is not None else q
             x = _lrelu(folded_conv(x, k.astype(dtype), b.astype(dtype)))
             nxt = enc[li + 1][0] if li + 1 < len(enc) else None
             if nxt is not None and _q8_eligible(nxt):

@@ -200,3 +200,19 @@ def test_serve_cli_q8(tmp_path, net, over):
     assert "falling back to standard" not in r.stderr + r.stdout
     outs = list(dst.glob("*.png"))
     assert len(outs) == 2, outs
+
+
+def test_serve_cli_auto_mode(trained, tmp_path):
+    """--mode auto resolves to the fastest supported path: the tiny h8
+    train config is too narrow for the 128-lane int8 kernels (q8_infer
+    gates on 4*hidden_dim alignment) but folds fine -> folded."""
+    cfg, out = trained
+    dst = tmp_path / "served_auto"
+    data_dir = Path(str(cfg)).parent / "data"
+    r = _run("serve.py", "--config", str(cfg),
+             "--content", str(data_dir / "content"),
+             "--style", str(data_dir / "style" / "00.png"),
+             "--out", str(dst), "--mode", "auto", "--batch", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "--mode auto resolved to folded" in r.stderr + r.stdout
+    assert len(list(dst.glob("*.png"))) >= 2
