@@ -211,24 +211,24 @@ def bench_std_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
             (batch, img, img, 3), np.float32))
         style = jnp.asarray(np.random.default_rng(1).random(
             (batch, img, img, 3), np.float32))
-        variables = jax.jit(partial(bundle.model.init, train=False))(
-            rng, content, style)
-        params = variables["params"]
-        scales = calibrate(params, content, style)
-
-        @partial(jax.jit, static_argnames=("n",))
-        def run_n(params, content, style, n):
-            def body(i, carry):
-                c, acc = carry
-                c = c.at[0, 0, 0, 0].add(1e-12 * i)
-                out = stylize(params, scales, c, style)
-                return (c, acc + jnp.mean(out))
-
-            _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
-            return acc
-
         iters = 10
         try:
+            variables = jax.jit(partial(bundle.model.init, train=False))(
+                rng, content, style)
+            params = variables["params"]
+            scales = calibrate(params, content, style)
+
+            @partial(jax.jit, static_argnames=("n",))
+            def run_n(params, content, style, n):
+                def body(i, carry):
+                    c, acc = carry
+                    c = c.at[0, 0, 0, 0].add(1e-12 * i)
+                    out = stylize(params, scales, c, style)
+                    return (c, acc + jnp.mean(out))
+
+                _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
+                return acc
+
             float(run_n(params, content, style, iters))
             best = float("inf")
             for _ in range(3):
@@ -306,34 +306,35 @@ def bench_vgg_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
             (batch, img, img, 3), np.float32))
         style = jnp.asarray(np.random.default_rng(1).random(
             (batch, img, img, 3), np.float32))
-        _, vgg_vars = init_vgg_params(rng, num_stages=bundle.vgg_stages)
-        variables = bundle.init(rng, content, style, vgg_vars)
-        if network == "src":
-            calibrate = partial(q8.calibrate_src_q8, variables["params"],
-                                vgg_vars)
-            stylize = partial(q8.stylize_src_q8, variables["params"],
-                              vgg_vars)
-        else:
-            calibrate = partial(q8.calibrate_sanet_q8, variables, vgg_vars,
-                                adaptive=adaptive,
-                                ada_module=cfg.ada_module)
-            stylize = partial(q8.stylize_sanet_q8, variables, vgg_vars,
-                              adaptive=adaptive, ada_module=cfg.ada_module)
-        scales = calibrate(content, style)
-
-        @partial(jax.jit, static_argnames=("n",))
-        def run_n(content, style, n):
-            def body(i, carry):
-                c, acc = carry
-                c = c.at[0, 0, 0, 0].add(1e-12 * i)
-                out = stylize(scales, c, style)
-                return (c, acc + jnp.mean(out))
-
-            _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
-            return acc
-
         iters = 10
         try:
+            _, vgg_vars = init_vgg_params(rng, num_stages=bundle.vgg_stages)
+            variables = bundle.init(rng, content, style, vgg_vars)
+            if network == "src":
+                calibrate = partial(q8.calibrate_src_q8,
+                                    variables["params"], vgg_vars)
+                stylize = partial(q8.stylize_src_q8, variables["params"],
+                                  vgg_vars)
+            else:
+                calibrate = partial(q8.calibrate_sanet_q8, variables,
+                                    vgg_vars, adaptive=adaptive,
+                                    ada_module=cfg.ada_module)
+                stylize = partial(q8.stylize_sanet_q8, variables, vgg_vars,
+                                  adaptive=adaptive,
+                                  ada_module=cfg.ada_module)
+            scales = calibrate(content, style)
+
+            @partial(jax.jit, static_argnames=("n",))
+            def run_n(content, style, n):
+                def body(i, carry):
+                    c, acc = carry
+                    c = c.at[0, 0, 0, 0].add(1e-12 * i)
+                    out = stylize(scales, c, style)
+                    return (c, acc + jnp.mean(out))
+
+                _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
+                return acc
+
             float(run_n(content, style, iters))
             best = float("inf")
             for _ in range(3):
