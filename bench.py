@@ -42,11 +42,49 @@ def build(dtype_name: str, img: int = IMG):
     return build_model(cfg)
 
 
+def _rand_pair(batch: int, img: int):
+    content = jnp.asarray(
+        np.random.default_rng(0).random((batch, img, img, 3), np.float32))
+    style = jnp.asarray(
+        np.random.default_rng(1).random((batch, img, img, 3), np.float32))
+    return content, style
+
+
+def _bench_chained(apply, tree, content, style, iters: int = 10,
+                   repeats: int = 3) -> float:
+    """Time ``iters`` chained ``apply(tree, c, s)`` passes inside ONE
+    jitted fori_loop and fetch a scalar — robust against async dispatch
+    and remote-tunnel runtimes where per-call block_until_ready doesn't
+    measure compute.  Returns seconds/pass (best of ``repeats``).  This
+    is THE timing methodology for every throughput number in BASELINE.md
+    — change it here or nowhere."""
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_n(tree, content, style, n):
+        def body(i, carry):
+            c, acc = carry
+            # i-dependent input perturbation prevents loop-invariant hoisting
+            c = c.at[0, 0, 0, 0].add(1e-12 * i)
+            out = apply(tree, c, style)
+            return (c, acc + jnp.mean(out))
+
+        _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
+        return acc
+
+    # compile + warm with the same static n (different n ⇒ different program)
+    float(run_n(tree, content, style, iters))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run_n(tree, content, style, iters))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
 def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3,
                   mode: str = "standard", img: int = None):
-    """Time ``iters`` chained stylize passes inside ONE jitted program and
-    fetch a scalar — robust against async dispatch and remote-tunnel
-    runtimes where per-call block_until_ready doesn't measure compute.
+    """Flagship stylize throughput via :func:`_bench_chained`.
 
     ``mode='folded'`` uses the space-to-depth execution strategy
     (``rpst.models.fast_path``) — exact same model/params, ~4x less HBM
@@ -55,13 +93,8 @@ def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3,
     the <1e-2 mean-abs-pixel parity target)."""
     img = img or IMG
     rng = jax.random.PRNGKey(0)
-    content = jnp.asarray(
-        np.random.default_rng(0).random((batch, img, img, 3), np.float32))
-    style = jnp.asarray(
-        np.random.default_rng(1).random((batch, img, img, 3), np.float32))
+    content, style = _rand_pair(batch, img)
     variables = bundle.model.init(rng, content, style, train=False)
-
-    from functools import partial
 
     if mode == "q8":
         from rpst.models.fast_path_q8 import (calibrate_multi_adain_q8,
@@ -80,26 +113,8 @@ def bench_stylize(bundle, batch: int, iters: int = 20, repeats: int = 3,
         def apply(variables, c, s):
             return bundle.model.apply(variables, c, s, train=False)
 
-    @partial(jax.jit, static_argnames=("n",))
-    def run_n(variables, content, style, n):
-        def body(i, carry):
-            c, acc = carry
-            # i-dependent input perturbation prevents loop-invariant hoisting
-            c = c.at[0, 0, 0, 0].add(1e-12 * i)
-            out = apply(variables, c, style)
-            return (c, acc + jnp.mean(out))
-
-        _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
-        return acc
-
-    # compile + warm with the same static n (different n ⇒ different program)
-    float(run_n(variables, content, style, iters))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(run_n(variables, content, style, iters))
-        best = min(best, time.perf_counter() - t0)
-    per_pass = best / iters
+    per_pass = _bench_chained(apply, variables, content, style,
+                              iters=iters, repeats=repeats)
     return batch / per_pass, per_pass
 
 
@@ -129,59 +144,55 @@ FAMILY_BASELINE_IMG_PER_S = {
 }
 
 
+def _family_sweep(label: str, network: str, make_apply, batches, img,
+                  iters: int = 10):
+    """Shared per-family sweep: one log line per batch, failures contained
+    per-batch (model init and calibration run inside the try — a broken
+    family must not abort the --all sweep).  ``make_apply(content, style)``
+    returns ``(apply, tree)`` for :func:`_bench_chained`."""
+    base = FAMILY_BASELINE_IMG_PER_S.get(network)
+    for batch in batches:
+        content, style = _rand_pair(batch, img)
+        try:
+            apply, tree = make_apply(content, style)
+            per = _bench_chained(apply, tree, content, style, iters=iters)
+            vs = f", vs_baseline {batch/per/base:.2f}x" if base else ""
+            log(f"[all] {label} {img}px batch={batch}: "
+                f"{batch/per:.2f} img/s ({per*1e3:.1f} ms/pass){vs}")
+        except Exception as e:
+            log(f"[all] {label} {img}px batch={batch}: "
+                f"{type(e).__name__}: {str(e)[:120]}")
+
+
 def bench_family(network: str, batches=(1, 4), img=IMG, **cfg_over):
-    """Secondary per-family throughput (stderr only): wct / sanet /
-    dynamic_sanet / adain at 512px, bf16."""
+    """Secondary per-family throughput (stderr only): every registry
+    family at 512px, bf16, through ``bundle.stylize``."""
     from rpst.config import load_config
     from rpst.models import build_model
     from rpst.nn.vgg import init_vgg_params
-    from functools import partial
 
     cfg = load_config(dict(network=network, img_size=img,
                            compute_dtype="bfloat16", **cfg_over))
     bundle = build_model(cfg)
     rng = jax.random.PRNGKey(0)
-    for batch in batches:
-        content = jnp.asarray(np.random.default_rng(0).random(
-            (batch, img, img, 3), np.float32))
-        style = jnp.asarray(np.random.default_rng(1).random(
-            (batch, img, img, 3), np.float32))
+
+    def make_apply(content, style):
         _, vgg_vars = init_vgg_params(rng, num_stages=bundle.vgg_stages)
         variables = bundle.init(rng, content, style, vgg_vars)
 
-        @partial(jax.jit, static_argnames=("n",))
-        def run_n(variables, vgg_vars, content, style, n):
-            def body(i, carry):
-                c, acc = carry
-                c = c.at[0, 0, 0, 0].add(1e-12 * i)
-                out = bundle.stylize(variables, vgg_vars, c, style)
-                return (c, acc + jnp.mean(out))
+        def apply(tree, c, s):
+            v, g = tree
+            return bundle.stylize(v, g, c, s)
 
-            _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
-            return acc
+        return apply, (variables, vgg_vars)
 
-        iters = 10
-        try:
-            float(run_n(variables, vgg_vars, content, style, iters))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(run_n(variables, vgg_vars, content, style, iters))
-                best = min(best, time.perf_counter() - t0)
-            per = best / iters
-            base = FAMILY_BASELINE_IMG_PER_S.get(network)
-            vs = f", vs_baseline {batch/per/base:.2f}x" if base else ""
-            log(f"[all] {network} {img}px batch={batch}: "
-                f"{batch/per:.2f} img/s ({per*1e3:.1f} ms/pass){vs}")
-        except Exception as e:
-            log(f"[all] {network} {img}px batch={batch}: "
-                f"{type(e).__name__}: {str(e)[:120]}")
+    _family_sweep(network, network, make_apply, batches, img)
 
 
 def bench_std_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
-    """adain/wct/mrf int8 PTQ serving (standard-layout wide-channel Pallas
-    kernel, fast_path_q8.stylize_adain_q8 / stylize_wct_q8) — stderr
-    only."""
+    """adain/wct/mrf/seg_adain int8 PTQ serving (standard-layout
+    wide-channel Pallas kernel, fast_path_q8.stylize_adain_q8 /
+    stylize_wct_q8) — stderr only."""
     from functools import partial
     from rpst.config import load_config
     from rpst.models import build_model
@@ -205,43 +216,20 @@ def bench_std_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
         stylize = q8.stylize_adain_q8
     bundle = build_model(cfg)
     rng = jax.random.PRNGKey(0)
-    base = FAMILY_BASELINE_IMG_PER_S.get(network)
-    for batch in batches:
-        content = jnp.asarray(np.random.default_rng(0).random(
-            (batch, img, img, 3), np.float32))
-        style = jnp.asarray(np.random.default_rng(1).random(
-            (batch, img, img, 3), np.float32))
-        iters = 10
-        try:
-            variables = jax.jit(partial(bundle.model.init, train=False))(
-                rng, content, style)
-            params = variables["params"]
-            scales = calibrate(params, content, style)
 
-            @partial(jax.jit, static_argnames=("n",))
-            def run_n(params, content, style, n):
-                def body(i, carry):
-                    c, acc = carry
-                    c = c.at[0, 0, 0, 0].add(1e-12 * i)
-                    out = stylize(params, scales, c, style)
-                    return (c, acc + jnp.mean(out))
+    def make_apply(content, style):
+        from functools import partial as _p
+        variables = jax.jit(_p(bundle.model.init, train=False))(
+            rng, content, style)
+        params = variables["params"]
+        scales = calibrate(params, content, style)
 
-                _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
-                return acc
+        def apply(params, c, s):
+            return stylize(params, scales, c, s)
 
-            float(run_n(params, content, style, iters))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(run_n(params, content, style, iters))
-                best = min(best, time.perf_counter() - t0)
-            per = best / iters
-            vs = f", vs_baseline {batch/per/base:.2f}x" if base else ""
-            log(f"[all] {network}-q8 {img}px batch={batch}: "
-                f"{batch/per:.2f} img/s ({per*1e3:.1f} ms/pass){vs}")
-        except Exception as e:
-            log(f"[all] {network}-q8 {img}px batch={batch}: "
-                f"{type(e).__name__}: {str(e)[:120]}")
+        return apply, params
+
+    _family_sweep(f"{network}-q8", network, make_apply, batches, img)
 
 
 def bench_train(exec_strategy: str, batch: int, iters: int = 10,
@@ -299,55 +287,33 @@ def bench_vgg_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
                            compute_dtype="bfloat16", **cfg_over))
     bundle = build_model(cfg)
     rng = jax.random.PRNGKey(0)
-    base = FAMILY_BASELINE_IMG_PER_S.get(network)
     adaptive = network == "dynamic_sanet"
-    for batch in batches:
-        content = jnp.asarray(np.random.default_rng(0).random(
-            (batch, img, img, 3), np.float32))
-        style = jnp.asarray(np.random.default_rng(1).random(
-            (batch, img, img, 3), np.float32))
-        iters = 10
-        try:
-            _, vgg_vars = init_vgg_params(rng, num_stages=bundle.vgg_stages)
-            variables = bundle.init(rng, content, style, vgg_vars)
-            if network == "src":
-                calibrate = partial(q8.calibrate_src_q8,
-                                    variables["params"], vgg_vars)
-                stylize = partial(q8.stylize_src_q8, variables["params"],
-                                  vgg_vars)
-            else:
-                calibrate = partial(q8.calibrate_sanet_q8, variables,
-                                    vgg_vars, adaptive=adaptive,
-                                    ada_module=cfg.ada_module)
-                stylize = partial(q8.stylize_sanet_q8, variables, vgg_vars,
-                                  adaptive=adaptive,
-                                  ada_module=cfg.ada_module)
-            scales = calibrate(content, style)
 
-            @partial(jax.jit, static_argnames=("n",))
-            def run_n(content, style, n):
-                def body(i, carry):
-                    c, acc = carry
-                    c = c.at[0, 0, 0, 0].add(1e-12 * i)
-                    out = stylize(scales, c, style)
-                    return (c, acc + jnp.mean(out))
+    def make_apply(content, style):
+        _, vgg_vars = init_vgg_params(rng, num_stages=bundle.vgg_stages)
+        variables = bundle.init(rng, content, style, vgg_vars)
+        if network == "src":
+            calibrate = partial(q8.calibrate_src_q8,
+                                variables["params"], vgg_vars)
+            stylize = partial(q8.stylize_src_q8, variables["params"],
+                              vgg_vars)
+        else:
+            calibrate = partial(q8.calibrate_sanet_q8, variables,
+                                vgg_vars, adaptive=adaptive,
+                                ada_module=cfg.ada_module)
+            stylize = partial(q8.stylize_sanet_q8, variables, vgg_vars,
+                              adaptive=adaptive, ada_module=cfg.ada_module)
+        scales = calibrate(content, style)
 
-                _, acc = jax.lax.fori_loop(0, n, body, (content, 0.0))
-                return acc
+        # scales/variables/vgg_vars are closed over (jit constants — the
+        # replay reads scales as concrete floats), matching the original
+        # harness; the tree slot carries nothing
+        def apply(_, c, s):
+            return stylize(scales, c, s)
 
-            float(run_n(content, style, iters))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(run_n(content, style, iters))
-                best = min(best, time.perf_counter() - t0)
-            per = best / iters
-            vs = f", vs_baseline {batch/per/base:.2f}x" if base else ""
-            log(f"[all] {network}-q8 {img}px batch={batch}: "
-                f"{batch/per:.2f} img/s ({per*1e3:.1f} ms/pass){vs}")
-        except Exception as e:
-            log(f"[all] {network}-q8 {img}px batch={batch}: "
-                f"{type(e).__name__}: {str(e)[:120]}")
+        return apply, jnp.float32(0)
+
+    _family_sweep(f"{network}-q8", network, make_apply, batches, img)
 
 
 def main():

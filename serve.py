@@ -85,6 +85,20 @@ def main():
     if args.mode != "standard":
         # route stylize through the folded fast paths the bundle supports
         overrides.setdefault("exec_strategy", "folded")
+    if args.mesh.isdigit():
+        mesh_shape = {"data": int(args.mesh)}
+    else:
+        mesh_shape = {k: int(v) for k, v in
+                      (kv.split("=", 1) for kv in args.mesh.split(","))}
+        assert set(mesh_shape) <= {"data", "spatial"}, mesh_shape
+        mesh_shape.setdefault("data", 1)
+    n_mesh_dev = 1
+    for s in mesh_shape.values():
+        n_mesh_dev *= s
+    if n_mesh_dev > 1:
+        # Mosaic (Pallas) custom calls have no SPMD partitioning rule —
+        # folded serving over a mesh must take the XLA ring conv path
+        overrides.setdefault("folded_infer_pallas", False)
     cfg = load_config(args.config, overrides)
 
     bundle = build_model(cfg)
@@ -111,7 +125,11 @@ def main():
 
     mode = args.mode
     if mode == "auto":
-        mode = ("q8" if bundle.q8_infer()
+        # q8 is only the fastest path where its Pallas kernels compile
+        # natively; on the CPU backend they'd run in interpret mode
+        # (orders of magnitude slower than standard), so auto skips it.
+        q8_native = jax.default_backend() != "cpu"
+        mode = ("q8" if q8_native and bundle.q8_infer()
                 else "folded" if bundle.folded_infer() else "standard")
         logger.info(f"--mode auto resolved to {mode}")
     fast_ok = bundle.q8_infer() if mode == "q8" else bundle.folded_infer()
@@ -124,16 +142,6 @@ def main():
     # interpret mode; on TPU they compile natively.
     q8_interpret = jax.default_backend() == "cpu"
 
-    if args.mesh.isdigit():
-        mesh_shape = {"data": int(args.mesh)}
-    else:
-        mesh_shape = {k: int(v) for k, v in
-                      (kv.split("=", 1) for kv in args.mesh.split(","))}
-        assert set(mesh_shape) <= {"data", "spatial"}, mesh_shape
-        mesh_shape.setdefault("data", 1)
-    n_mesh_dev = 1
-    for s in mesh_shape.values():
-        n_mesh_dev *= s
     data_par = mesh_shape.get("data", 1)
     spatial_par = mesh_shape.get("spatial", 1)
 

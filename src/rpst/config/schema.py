@@ -137,6 +137,12 @@ DEFAULTS: Dict[str, Any] = {
     # Measured (512px, v5e): wins at every batch — b1 28.4->31.7,
     # b4 36.8->42.0, b8 60.1->60.6 img/s — so it defaults on.
     "folded_train_pallas": True,
+    # folded INFERENCE conv execution: 'auto' = the measured per-shape
+    # winner between the fused Pallas kernel and the XLA ring path
+    # (fast_path._conv_lrelu); False forces XLA — required under a
+    # >1-device mesh, where Mosaic custom calls can't SPMD-partition
+    # (serve.py sets this when --mesh spans several devices)
+    "folded_infer_pallas": "auto",
     # dynamic_sanet adaptive-attention execution: 'never' = dense
     # (HWc, HWs) parity path, 'always' = streamed blockwise path
     # (O(HW·C) memory — required beyond 512px), 'auto' = blockwise on

@@ -93,7 +93,13 @@ class ModelBundle:
             return not self.cfg.use_mask
         if self.network == "wct":
             return True
-        if self.network in ("sanet", "dynamic_sanet", "mrf"):
+        if self.network in ("sanet", "dynamic_sanet"):
+            # the q8 VGG encode pools with exact 2x2/2 halving
+            # (_maxpool2x_any) where the bf16 path pools ceil-mode: four
+            # pools to relu5_1 need img_size % 16 == 0 (else AssertionError
+            # at trace time) — odd sizes serve standard/bf16 instead
+            return self.cfg.img_size % 16 == 0
+        if self.network == "mrf":
             return True
         if self.network == "seg_adain":
             # SegAdaINRP's stylize forward IS AdaINRP (masks only enter
@@ -101,7 +107,8 @@ class ModelBundle:
             # on the nested ``adain_rp`` param subtree
             return True
         if self.network == "src":
-            return not self.cfg.use_mask
+            # three exact 2x2/2 pools to relu4_1 (see sanet note above)
+            return not self.cfg.use_mask and self.cfg.img_size % 8 == 0
         if self.network == "spade":
             # int8 encoders + bf16 SPADE generator; the syncbatch variant
             # carries batch_stats the serving path doesn't thread
@@ -250,24 +257,30 @@ class ModelBundle:
                                     stylize_mst_folded,
                                     stylize_multi_adain_folded,
                                     stylize_sel_multi_adain_folded)
+            # 'auto' picks the measured per-shape winner on single chips;
+            # serve.py forces False under a >1-device mesh (Mosaic custom
+            # calls carry no SPMD partitioning rule — the XLA ring conv
+            # partitions fine)
+            up = self.cfg.get("folded_infer_pallas", "auto")
             if self.network == "sel_multi_adain":
                 return stylize_sel_multi_adain_folded(
-                    variables, content, style, dtype=self._folded_dtype())
+                    variables, content, style, dtype=self._folded_dtype(),
+                    use_pallas=up)
             if self.network == "ccam":
                 return stylize_ccam_folded(
                     variables, content, style,
                     stylized_layers=self.cfg.stylized_layers,
-                    dtype=self._folded_dtype())
+                    dtype=self._folded_dtype(), use_pallas=up)
             if self.network == "mst":
                 return stylize_mst_folded(
                     variables, content, style,
                     stylized_layers=self.cfg.stylized_layers,
                     n_clusters=self.cfg.n_clusters,
                     mst_lambda=self.cfg.mst_lambda,
-                    dtype=self._folded_dtype())
+                    dtype=self._folded_dtype(), use_pallas=up)
             return stylize_multi_adain_folded(
                 variables["params"], content, style,
-                dtype=self._folded_dtype())
+                dtype=self._folded_dtype(), use_pallas=up)
         if self.network in _FEAT_MODELS:
             cf = self.vgg.apply(vgg_vars, content)
             sf = self.vgg.apply(vgg_vars, style)

@@ -628,8 +628,18 @@ def _encode_std_q8(enc, act_scales, it, x, dtype, conv_q):
     x_s = None
     for li, (k, b) in enumerate(enc):
         if _q8_eligible(k):
-            out_s = float(act_scales[next(it)])
-            x, x_s = conv_q(x, x_s, k, b, out_scale=out_s), out_s
+            nxt_eligible = (li + 1 < len(enc)
+                            and _q8_eligible(enc[li + 1][0]))
+            if nxt_eligible or li == len(enc) - 1:
+                out_s = float(act_scales[next(it)])
+                x, x_s = conv_q(x, x_s, k, b, out_scale=out_s), out_s
+            else:
+                # the next layer runs bf16 XLA: emit dequantized float —
+                # _collect_rp_sequence records no scale at this point, so
+                # an int8 out here would both desync the scale stream and
+                # feed raw codes into _same_conv_relu (mirrors the guard
+                # in the folded _encode_q8)
+                x, x_s = conv_q(x, x_s, k, b), None
         else:
             x = _same_conv_relu(x, k, b, dtype)
             nxt = enc[li + 1][0] if li + 1 < len(enc) else None

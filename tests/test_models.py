@@ -168,3 +168,17 @@ def test_nonoverlap_conv_transpose_equals_flax():
         out_new = new_mod.apply(p_ref, x)  # ref params through new path
         np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_q8_infer_gates_on_pool_divisibility():
+    """The q8 VGG-family encode pools with exact 2x2/2 halving where the
+    bf16 path pools ceil-mode: sanet/dynamic_sanet (four pools to
+    relu5_1) need img_size % 16 == 0, src (three pools to relu4_1) needs
+    % 8 — anything else must report q8-unsupported so serve.py falls
+    back to standard instead of tripping the pool assert at trace time."""
+    for net, good, bad in [("sanet", 128, 200), ("dynamic_sanet", 64, 104),
+                           ("src", 104, 100)]:
+        ok = build_model(load_config(dict(BASE, network=net, img_size=good)))
+        no = build_model(load_config(dict(BASE, network=net, img_size=bad)))
+        assert ok.q8_infer(), (net, good)
+        assert not no.q8_infer(), (net, bad)

@@ -401,3 +401,42 @@ def test_q8_spade_quality_vs_f32(rng):
                                       dtype=jnp.float32, interpret=True))
     psnr = _psnr(got, ref)
     assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_encode_std_q8_eligible_before_ineligible(rng):
+    """An int8-eligible layer followed by an XLA (non-aligned) layer must
+    emit DEQUANTIZED floats and consume no scale there — calibration
+    (_collect_rp_sequence) records none at that point, so an int8 out
+    would desync the scale stream and feed raw codes into the bf16 conv
+    (the std-layout twin of the guard in the folded _encode_q8)."""
+    from rpst.models.fast_path_q8 import (_collect_rp_sequence,
+                                          _encode_std_q8, _make_conv_q_std,
+                                          _same_conv_relu)
+
+    def mk(cin, cout, scale=0.15):
+        k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+        return k * scale, b * 0.1
+    # inelig (3->128), elig (128->128), elig (128->128), inelig (128->64)
+    enc = [mk(3, 128), mk(128, 128), mk(128, 128), mk(128, 64)]
+    x = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+
+    _, absmax = _collect_rp_sequence(enc, [], x.astype(jnp.bfloat16),
+                                     lambda f: f, jnp.bfloat16)
+    act_scales = np.asarray([float(a) / 127.0 for a in absmax], np.float32)
+    assert len(act_scales) == 2  # li0->li1 input and li1->li2 chain only
+
+    ref = x.astype(jnp.bfloat16)
+    for k, b in enc:
+        ref = _same_conv_relu(ref, k, b, jnp.bfloat16)
+
+    it = iter(range(len(act_scales)))
+    conv_q = _make_conv_q_std(jnp.bfloat16, 16, interpret=True)
+    got, got_s = _encode_std_q8(enc, act_scales, it, x.astype(jnp.bfloat16),
+                                jnp.bfloat16, conv_q)
+    assert got_s is None  # deepest layer is ineligible -> float out
+    # every recorded scale consumed, none left over (stream stays in sync)
+    assert next(it, None) is None
+    ref = np.asarray(ref, np.float32)
+    err = np.abs(np.asarray(got, np.float32) - ref)
+    assert float(err.mean()) < 0.05 * (float(np.abs(ref).mean()) + 1e-6)

@@ -35,9 +35,9 @@ from rpst.train import (MetricWriter, create_train_state, latest_step,
                         make_train_step, restore_checkpoint, save_checkpoint)
 from rpst.train.metrics import logger, save_image, save_image_row
 from rpst.train.step import make_stylize_fn
-from rpst.dist import (is_main_process, make_mesh, make_sharded_train_step,
-                       put_tree, replicate, setup_distributed, shard_batch,
-                       tp_shardings)
+from rpst.dist import (gather_replicated, is_main_process, make_mesh,
+                       make_sharded_train_step, put_tree, replicate,
+                       setup_distributed, shard_batch, tp_shardings)
 
 
 def main():
@@ -72,6 +72,18 @@ def main():
         for sub in ("logs", "checkpoints", "test"):
             (output / sub).mkdir(exist_ok=True, parents=True)
     writer = MetricWriter(output) if main_proc else None
+
+    # Mosaic (Pallas) custom calls carry no SPMD partitioning rule: under
+    # a >1-device mesh the partitioner cannot split them, so the folded
+    # train path must take the XLA ring conv (which partitions fine) —
+    # the kernels remain the single-chip winner.
+    n_mesh_dev = (int(np.prod(list(cfg.mesh_shape.values())))
+                  if cfg.mesh_shape
+                  else jax.device_count() if n_proc > 1 else 1)
+    if n_mesh_dev > 1 and cfg.get("folded_train_pallas", False):
+        cfg = cfg.replace(folded_train_pallas=False)
+        logger.info("Multi-device mesh: folded training uses the XLA ring "
+                    "conv path (Pallas kernels don't SPMD-partition)")
 
     bundle = build_model(cfg)
     if cfg.vgg and Path(cfg.vgg).exists():
@@ -133,7 +145,7 @@ def main():
         else:
             logger.warning(f"resume requested but no checkpoint at {ckpt}")
 
-    mesh, spatial = None, False
+    mesh, spatial, state_sharding = None, False, None
     if cfg.mesh_shape or n_proc > 1:
         # multi-process always runs under a global mesh (default: pure DP
         # over every chip of the slice)
@@ -157,10 +169,21 @@ def main():
     stylize = make_stylize_fn(bundle)
 
     def run_test_dump(iteration: int):
+        params, extra = state.params, state.extra
+        if mesh is not None and n_proc > 1 and state_sharding is not None:
+            # TP leaves live sharded across hosts — device_get on process
+            # 0 alone would touch non-addressable shards. All processes
+            # enter together and all-gather collectively; only process 0
+            # proceeds to the host-side writes.
+            params = gather_replicated(params, mesh)
+            if extra:
+                extra = gather_replicated(extra, mesh)
+        if not main_proc:
+            return
         out_dir = output / "test" / f"{iteration}"
         out_dir.mkdir(exist_ok=True, parents=True)
-        variables = {"params": jax.device_get(state.params),
-                     **jax.device_get(state.extra)}
+        variables = {"params": jax.device_get(params),
+                     **jax.device_get(extra)}
         for content, style, c_names, s_names, c_m, s_m in iter_batches(
                 test_ds, cfg.batch_size):
             use_mask = bool(cfg.use_mask) and c_m is not None
@@ -209,7 +232,9 @@ def main():
                 logger.info(f"Iterations {begin + i}, "
                             f"elapsed time: {elapsed}{loss_str}")
 
-            if test_ds is not None and i % cfg.test_iter == 0 and main_proc:
+            if test_ds is not None and i % cfg.test_iter == 0:
+                # all processes enter (the TP gather inside is collective);
+                # non-main processes return before any host writes
                 run_test_dump(begin + i)
 
             # preemption: multi-process runs must AGREE on checkpoint/stop
