@@ -316,7 +316,31 @@ def bench_vgg_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
     _family_sweep(f"{network}-q8", network, make_apply, batches, img)
 
 
+def _require_responsive_backend(timeout_s: int = 180):
+    """Fail FAST when backend init would hang.
+
+    A half-open TPU tunnel makes PJRT client creation block indefinitely
+    (observed 2026-08-18: ``jax.devices()`` hung >10 min with zero CPU).
+    Probe device enumeration in a subprocess with a timeout; exit(2) with
+    a diagnostic instead of hanging the driver's bench run."""
+    import os
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.device_count())"],
+            capture_output=True, text=True, timeout=timeout_s,
+            env=dict(os.environ))
+        if r.returncode == 0:
+            return
+        log(f"backend probe failed rc={r.returncode}: {r.stderr[-300:]}")
+    except subprocess.TimeoutExpired:
+        log(f"backend probe hung >{timeout_s}s (TPU tunnel down/half-open) "
+            "— refusing to bench")
+    sys.exit(2)
+
+
 def main():
+    _require_responsive_backend()
     if "--hires" in sys.argv:
         # 1024px (4x the reference's pixel count) through the fast paths
         bundle = build("bfloat16", img=1024)
