@@ -25,9 +25,17 @@ annotations — same machinery as training's spatial axis, dist/mesh.py).
 Host IO (decode + PNG encode) overlaps device compute via async dispatch:
 batch t+1 is decoded and dispatched before batch t's outputs are fetched.
 
+``--daemon`` switches from the one-shot folder sweep to a persistent
+line-JSON TCP loop with DYNAMIC REQUEST BATCHING (rpst/serving.py):
+concurrent single-image requests coalesce into fixed-shape device
+batches — full batches amortize per-dispatch latency ~8x on the
+flagship (BASELINE.md b1 vs b8) — with a ``--max-wait-ms`` window
+bounding added latency when traffic is sparse.
+
 Usage:
   python serve.py --config cfg.yaml --content in/ --style style.png \
       --out stylized/ [--mode q8] [--mesh 4] [--set key=val ...]
+  python serve.py ... --daemon [--port N] [--max-wait-ms 5]
 """
 
 import argparse
@@ -45,6 +53,8 @@ from rpst.config import load_config
 from rpst.data import ImageFolderDataset
 from rpst.models import build_model
 from rpst.nn.vgg import init_vgg_params, load_vgg_params
+from rpst.serving import (DynamicBatcher, calibrate_scales, make_run_impl,
+                          resolve_mode, serve_daemon)
 from rpst.train import create_train_state, latest_step, restore_checkpoint
 from rpst.train.metrics import logger, save_image
 
@@ -75,6 +85,18 @@ def main():
                         "'spatial' axis shards image ROWS so one high-res "
                         "image can use several chips (XLA inserts the "
                         "stride-1 conv halo exchanges from the shardings)")
+    parser.add_argument("--daemon", action="store_true",
+                        help="serve a line-JSON TCP loop with dynamic "
+                        "request batching instead of sweeping --content "
+                        "once (--content still seeds q8 calibration; "
+                        "protocol: rpst/serving.py docstring)")
+    parser.add_argument("--port", type=int, default=0,
+                        help="daemon TCP port (0 = ephemeral; the bound "
+                        "port is logged as 'DAEMON LISTENING host:port')")
+    parser.add_argument("--max-wait-ms", type=float, default=5.0,
+                        help="daemon batching window: the first queued "
+                        "request waits at most this long for the batch "
+                        "to fill before dispatching")
     parser.add_argument("--set", nargs="*", default=[])
     args = parser.parse_args()
     overrides = {}
@@ -123,21 +145,7 @@ def main():
     variables = {"params": jax.device_get(state.params),
                  **jax.device_get(state.extra)}
 
-    mode = args.mode
-    if mode == "auto":
-        # q8 is only the fastest path where its Pallas kernels compile
-        # natively; on the CPU backend they'd run in interpret mode
-        # (orders of magnitude slower than standard), so auto skips it.
-        q8_native = jax.default_backend() != "cpu"
-        mode = ("q8" if q8_native and bundle.q8_infer()
-                else "folded" if bundle.folded_infer() else "standard")
-        logger.info(f"--mode auto resolved to {mode}")
-    fast_ok = bundle.q8_infer() if mode == "q8" else bundle.folded_infer()
-    if mode in ("folded", "q8") and not fast_ok:
-        logger.warning(f"--mode {mode} is unsupported for this network/"
-                       "config (coverage: module docstring); falling back "
-                       "to standard")
-        mode = "standard"
+    mode = resolve_mode(bundle, args.mode)
     # On the CPU backend (tests, dry runs) the int8 Pallas kernels run in
     # interpret mode; on TPU they compile natively.
     q8_interpret = jax.default_backend() == "cpu"
@@ -178,128 +186,15 @@ def main():
     style_img = jnp.asarray(styles[0][1])[None]
     scales = None
     if mode == "q8":
-        from rpst.models.fast_path_q8 import (calibrate_adain_q8,
-                                              calibrate_ccam_q8,
-                                              calibrate_multi_adain_q8,
-                                              calibrate_sel_multi_adain_q8)
         calib = jnp.asarray(
             np.stack([img for _, img in contents[:args.batch]]))
         calib_style = jnp.broadcast_to(style_img, calib.shape)
-        if bundle.network == "sel_multi_adain":
-            scales = calibrate_sel_multi_adain_q8(variables, calib,
-                                                  calib_style)
-        elif bundle.network == "ccam":
-            scales = calibrate_ccam_q8(variables, calib, calib_style,
-                                       stylized_layers=cfg.stylized_layers)
-        elif bundle.network == "adain":
-            scales = calibrate_adain_q8(variables["params"], calib,
-                                        calib_style)
-        elif bundle.network == "seg_adain":
-            scales = calibrate_adain_q8(variables["params"]["adain_rp"],
-                                        calib, calib_style)
-        elif bundle.network == "wct":
-            from rpst.models.fast_path_q8 import calibrate_wct_q8
-            scales = calibrate_wct_q8(variables["params"], calib,
-                                      calib_style, method=cfg.wct_method,
-                                      wct_dtype=jnp.dtype(cfg.wct_dtype))
-        elif bundle.network in ("sanet", "dynamic_sanet"):
-            from rpst.models.fast_path_q8 import calibrate_sanet_q8
-            scales = calibrate_sanet_q8(
-                variables, vgg_vars, calib, calib_style,
-                adaptive=bundle.network == "dynamic_sanet",
-                ada_module=cfg.ada_module,
-                blockwise=cfg.get("adaptive_blockwise", "auto"))
-        elif bundle.network == "src":
-            from rpst.models.fast_path_q8 import calibrate_src_q8
-            scales = calibrate_src_q8(variables["params"], vgg_vars,
-                                      calib, calib_style)
-        elif bundle.network == "mrf":
-            from rpst.models.fast_path_q8 import calibrate_mrf_q8
-            scales = calibrate_mrf_q8(variables["params"], calib,
-                                      calib_style)
-        elif bundle.network == "mst":
-            from rpst.models.fast_path_q8 import calibrate_mst_q8
-            scales = calibrate_mst_q8(
-                variables["params"], calib, calib_style,
-                stylized_layers=cfg.stylized_layers,
-                n_clusters=cfg.n_clusters, mst_lambda=cfg.mst_lambda)
-        elif bundle.network == "spade":
-            from rpst.models.fast_path_q8 import calibrate_spade_q8
-            scales = calibrate_spade_q8(variables["params"], calib,
-                                        calib_style)
-        else:
-            scales = calibrate_multi_adain_q8(variables["params"], calib,
-                                              calib_style)
+        scales = calibrate_scales(bundle, cfg, variables, vgg_vars,
+                                  calib, calib_style)
         logger.info(f"Calibrated {len(scales['act_scales'])} layer scales")
 
-    def _run_impl(params_and_extra, content, style):
-        if mode == "q8":
-            from rpst.models.fast_path_q8 import (
-                stylize_adain_q8,
-                stylize_ccam_folded_q8,
-                stylize_multi_adain_folded_q8,
-                stylize_sel_multi_adain_folded_q8)
-            if bundle.network == "sel_multi_adain":
-                return stylize_sel_multi_adain_folded_q8(
-                    params_and_extra, scales, content, style,
-                    interpret=q8_interpret)
-            if bundle.network == "ccam":
-                return stylize_ccam_folded_q8(
-                    params_and_extra, scales, content, style,
-                    stylized_layers=cfg.stylized_layers,
-                    interpret=q8_interpret)
-            if bundle.network == "adain":
-                return stylize_adain_q8(params_and_extra["params"],
-                                        scales, content, style,
-                                        interpret=q8_interpret)
-            if bundle.network == "seg_adain":
-                return stylize_adain_q8(
-                    params_and_extra["params"]["adain_rp"],
-                    scales, content, style, interpret=q8_interpret)
-            if bundle.network == "wct":
-                from rpst.models.fast_path_q8 import stylize_wct_q8
-                return stylize_wct_q8(params_and_extra["params"], scales,
-                                      content, style,
-                                      method=cfg.wct_method,
-                                      wct_dtype=jnp.dtype(cfg.wct_dtype),
-                                      interpret=q8_interpret)
-            if bundle.network in ("sanet", "dynamic_sanet"):
-                from rpst.models.fast_path_q8 import stylize_sanet_q8
-                return stylize_sanet_q8(
-                    params_and_extra, vgg_vars, scales, content, style,
-                    adaptive=bundle.network == "dynamic_sanet",
-                    ada_module=cfg.ada_module,
-                    blockwise=cfg.get("adaptive_blockwise", "auto"),
-                    interpret=q8_interpret)
-            if bundle.network == "src":
-                from rpst.models.fast_path_q8 import stylize_src_q8
-                return stylize_src_q8(params_and_extra["params"], vgg_vars,
-                                      scales, content, style,
-                                      interpret=q8_interpret)
-            if bundle.network == "mrf":
-                from rpst.models.fast_path_q8 import stylize_mrf_q8
-                return stylize_mrf_q8(params_and_extra["params"], scales,
-                                      content, style,
-                                      interpret=q8_interpret)
-            if bundle.network == "mst":
-                from rpst.models.fast_path_q8 import stylize_mst_folded_q8
-                return stylize_mst_folded_q8(
-                    params_and_extra["params"], scales, content, style,
-                    stylized_layers=cfg.stylized_layers,
-                    n_clusters=cfg.n_clusters, mst_lambda=cfg.mst_lambda,
-                    interpret=q8_interpret)
-            if bundle.network == "spade":
-                from rpst.models.fast_path_q8 import stylize_spade_q8
-                return stylize_spade_q8(
-                    params_and_extra["params"], scales, content, style,
-                    ndf=cfg.ndf, spade_norm=cfg.spade_norm,
-                    interpret=q8_interpret)
-            return stylize_multi_adain_folded_q8(
-                params_and_extra["params"], scales, content, style,
-                interpret=q8_interpret)
-        # folded mode routes through bundle.stylize (exec_strategy=folded
-        # picks the family's folded fast path; standard stays standard)
-        return bundle.stylize(params_and_extra, vgg_vars, content, style)
+    _run_impl = make_run_impl(bundle, cfg, mode, scales, vgg_vars,
+                              q8_interpret=q8_interpret)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -311,6 +206,17 @@ def main():
                       out_shardings=NamedSharding(mesh, img_spec))
     else:
         run = jax.jit(_run_impl)
+
+    if args.daemon:
+        batcher = DynamicBatcher(
+            lambda c, s: run(variables, c, s),
+            batch_size=args.batch, max_wait_ms=args.max_wait_ms)
+        try:
+            serve_daemon(batcher, cfg.img_size, out_dir, port=args.port,
+                         default_style=np.asarray(styles[0][1]))
+        finally:
+            batcher.close()
+        return
 
     def _dispatch(chunk):
         """Decode + device_put + async dispatch; pad short batches so the
