@@ -47,6 +47,12 @@ DEFAULTS: Dict[str, Any] = {
     "image_save_iter": 1,
     "log_iter": 1,
     "test_iter": 10000,
+    # capture a jax.profiler device trace spanning ``profile_steps``
+    # steps starting at iteration ``profile_iter`` (0 = off); written to
+    # <output>/logs/trace for TensorBoard/xprof (SURVEY §5: the
+    # reference's only observability is wall-clock prints)
+    "profile_iter": 0,
+    "profile_steps": 3,
     # --- optimization ---
     "max_iter": 1_000_000,
     "batch_size": 1,

@@ -27,6 +27,16 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def start_trace(logdir: str) -> None:
+    """Span-style variant of :func:`trace` for captures that straddle
+    loop iterations (train.py's ``profile_iter`` window)."""
+    jax.profiler.start_trace(logdir)
+
+
+def stop_trace() -> None:
+    jax.profiler.stop_trace()
+
+
 def annotate(name: str):
     """Named span (shows up in profiler timelines)."""
     return jax.profiler.TraceAnnotation(name)

@@ -216,3 +216,18 @@ def test_serve_cli_auto_mode(trained, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "--mode auto resolved to folded" in r.stderr + r.stdout
     assert len(list(dst.glob("*.png"))) >= 2
+
+
+def test_train_profile_trace(tmp_path):
+    """profile_iter captures a jax.profiler device trace under
+    <output>/logs/trace (SURVEY §5 observability — the reference only
+    prints wall-clock)."""
+    data, out, cfg = tmp_path / "data", tmp_path / "out", tmp_path / "c.yaml"
+    _make_data(data)
+    _write_cfg(cfg, data, out, max_iter=4, test_iter=100,
+               snapshot_save_iter=100, profile_iter=1, profile_steps=1)
+    r = _run("train.py", "--config", str(cfg))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Wrote device trace" in r.stderr + r.stdout
+    trace_files = list((out / "logs" / "trace").rglob("*"))
+    assert any(f.is_file() for f in trace_files), trace_files

@@ -200,9 +200,25 @@ def main():
 
     # --- hot loop (train.py:177-231) ---------------------------------------
     from rpst.train.fault import CheckpointOnSignal
+    from rpst.train.profiler import StepTimer, start_trace, stop_trace
+    # async-aware throughput: per-step wall time under async dispatch
+    # measures dispatch rate, not device progress (profiler.py docstring)
+    timer = StepTimer(sync_every=max(cfg.log_iter, 10))
+    profiling = False
     with CheckpointOnSignal() as stop:
         for i in range(1, cfg.max_iter):
             start = time.time()
+            if cfg.profile_iter and main_proc:
+                if i == cfg.profile_iter:
+                    start_trace(str(output / "logs" / "trace"))
+                    profiling = True
+                elif profiling and i >= cfg.profile_iter + cfg.profile_steps:
+                    jax.block_until_ready(loss_dict)
+                    stop_trace()
+                    profiling = False
+                    logger.info(f"Wrote device trace for steps "
+                                f"{cfg.profile_iter}.."
+                                f"{i - 1} -> {output / 'logs' / 'trace'}")
             content_label = None
             if seg_training:
                 content_np, label_np = next(content_iter)
@@ -223,14 +239,18 @@ def main():
             else:
                 state, loss_dict = train_step(state, vgg_vars, content, style)
 
+            timer.tick(loss_dict)
             if i % cfg.log_iter == 0 and main_proc:
                 loss_dict = jax.device_get(loss_dict)
                 writer.write(begin + i, loss_dict)
                 elapsed = round(time.time() - start, 2)
+                rate = timer.steps_per_sec
+                rate_str = (f", img/s {rate * cfg.batch_size:.2f}"
+                            if rate == rate else "")
                 loss_str = "".join(f", {k} {float(v)}"
                                    for k, v in loss_dict.items())
                 logger.info(f"Iterations {begin + i}, "
-                            f"elapsed time: {elapsed}{loss_str}")
+                            f"elapsed time: {elapsed}{rate_str}{loss_str}")
 
             if test_ds is not None and i % cfg.test_iter == 0:
                 # all processes enter (the TP gather inside is collective);
@@ -263,6 +283,8 @@ def main():
                                 "exiting cleanly")
                 break
 
+    if profiling:  # max_iter/preemption landed inside the trace window
+        stop_trace()
     content_iter.close()
     style_iter.close()
     if writer is not None:
