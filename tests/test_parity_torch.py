@@ -193,3 +193,74 @@ def test_reference_checkpoint_import_roundtrip(rng, tmp_path):
             np.transpose(x, (0, 3, 1, 2)).copy())).numpy()
     np.testing.assert_allclose(got, np.transpose(expected, (0, 2, 3, 1)),
                                rtol=1e-5, atol=1e-5)
+
+
+def _load_tool(name):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(name, f"tools/{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _tree_allclose(a, b, path=""):
+    assert sorted(a) == sorted(b), (path, sorted(a), sorted(b))
+    for k in a:
+        if isinstance(a[k], dict):
+            _tree_allclose(a[k], b[k], f"{path}/{k}")
+        else:
+            np.testing.assert_allclose(np.asarray(a[k], np.float32),
+                                       np.asarray(b[k], np.float32),
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=f"{path}/{k}")
+
+
+def test_reference_checkpoint_export_roundtrip(rng):
+    """tools/export_reference_checkpoint inverts the import tool on REAL
+    rpst param trees: export -> reference-format keys -> import -> the
+    original tree, for all three formats (rpseq, rpstack incl. SE
+    bottleneck batch stats + inception, sanet/AEA)."""
+    exp = _load_tool("export_reference_checkpoint")
+    imp = _load_tool("import_reference_checkpoint")
+
+    cases = [
+        (dict(network="adain", rp_blocks=3, hidden_dim=8, img_size=16),
+         "rpseq"),
+        (dict(network="multi_adain", enc_stack_way="constant", rp_blocks=3,
+              hidden_dim=8, inception_num=1, attention="se", img_size=16),
+         "rpstack"),
+        (dict(network="dynamic_sanet", ada_module="aea", img_size=32),
+         "sanet"),
+    ]
+    for over, kind in cases:
+        cfg = load_config(over)
+        bundle = build_model(cfg)
+        key = jax.random.PRNGKey(0)
+        c = jnp.asarray(rng.random((1, cfg.img_size, cfg.img_size, 3),
+                                   np.float32))
+        _, vgg_vars = init_vgg_params(key, num_stages=bundle.vgg_stages)
+        variables = bundle.init(key, c, c, vgg_vars)
+        params = jax.device_get(variables["params"])
+        stats = jax.device_get(variables.get("batch_stats", {}))
+
+        sd = exp.export_tree(params, stats)
+        # reference-format key spot checks (what torch.load must see)
+        if kind == "rpseq":
+            assert "0.weight" in sd["encoder"] and "2.weight" in sd["encoder"]
+        elif kind == "rpstack":
+            assert "0.conv.weight" in sd["encoder"]
+            assert "0.inception.0.0.weight" in sd["encoder"]
+            assert "0.attention_block.conv1.weight" in sd["encoder"]
+            assert "0.attention_block.bn1.running_mean" in sd["encoder"]
+        else:
+            assert "1.weight" in sd["decoder"] and "28.weight" in sd["decoder"]
+            assert "sanet4_1.f.weight" in sd["transform"]
+            assert "sanet4_1.attention_layer.f_psi.0.weight" in sd["transform"]
+
+        back = imp.convert_tree(sd)
+        assert back["kind"] == kind
+        want = {k: params[k] for k in back["params"]}
+        _tree_allclose(back["params"], want, kind)
+        if back["batch_stats"]:
+            want_bs = {k: stats[k] for k in back["batch_stats"]}
+            _tree_allclose(back["batch_stats"], want_bs, f"{kind}-bs")
