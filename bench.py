@@ -232,6 +232,32 @@ def bench_std_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
     _family_sweep(f"{network}-q8", network, make_apply, batches, img)
 
 
+def bench_engine_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
+    """Any-family int8 PTQ serving through the serving engine
+    (rpst.serving.calibrate_scales/make_run_impl — the exact dispatch
+    serve.py --mode q8 runs); used for the families without a dedicated
+    wrapper above (mst, spade)."""
+    from rpst.config import load_config
+    from rpst.models import build_model
+    from rpst.nn.vgg import init_vgg_params
+    from rpst.serving import calibrate_scales, make_run_impl
+
+    cfg = load_config(dict(network=network, img_size=img,
+                           compute_dtype="bfloat16", **cfg_over))
+    bundle = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+
+    def make_apply(content, style):
+        _, vgg_vars = init_vgg_params(rng, num_stages=bundle.vgg_stages)
+        variables = bundle.init(rng, content, style, vgg_vars)
+        scales = calibrate_scales(bundle, cfg, variables, vgg_vars,
+                                  content, style)
+        run_impl = make_run_impl(bundle, cfg, "q8", scales, vgg_vars)
+        return run_impl, variables
+
+    _family_sweep(f"{network}-q8", network, make_apply, batches, img)
+
+
 def bench_train(exec_strategy: str, batch: int, iters: int = 10,
                 repeats: int = 3):
     """Full train-step throughput (stderr): loss + 3xVGG + grads + Adam."""
@@ -381,6 +407,9 @@ def main():
         bench_family("mst", enc_stack_way="constant", rp_blocks=5,
                      hidden_dim=32, stylized_layers=1,
                      exec_strategy="folded")
+        bench_engine_q8("mst", enc_stack_way="constant", rp_blocks=5,
+                        hidden_dim=32, stylized_layers=1,
+                        exec_strategy="folded")
         bench_family("ld_adain", hidden_dim=16, ld_layer_num=5,
                      stylized_layers=5)
         bench_family("ld_adain2", hidden_dim=8, ld_layer_num=5)
@@ -393,6 +422,7 @@ def main():
         bench_family("mrf")
         bench_std_q8("mrf")
         bench_family("spade")
+        bench_engine_q8("spade")
         bench_family("seg_adain")
         bench_std_q8("seg_adain")
         bench_family("dynamic_sanet", batches=(1,), img=1024)
