@@ -203,7 +203,10 @@ class DynamicBatcher:
         self._stats_lock = threading.Lock()
         self.served = 0
         self.batches = 0
-        self.batch_ms: list = []
+        # bounded: a persistent daemon must not grow per-batch history
+        # without limit (p50/p95 over the recent window is the signal)
+        from collections import deque
+        self.batch_ms: Any = deque(maxlen=1024)
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -212,6 +215,9 @@ class DynamicBatcher:
         """Queue one (H, W, 3) request; the Future resolves to the
         stylized (H, W, 3) numpy image."""
         fut: Future = Future()
+        if self._stop.is_set():
+            fut.set_exception(RuntimeError("batcher closed"))
+            return fut
         self._q.put((content, style, fut))
         return fut
 
@@ -224,9 +230,22 @@ class DynamicBatcher:
                     "p50_batch_ms": round(p50, 2) if p50 else None}
 
     def close(self):
+        """Stop the worker and FAIL any still-queued requests — a handler
+        blocked in ``Future.result`` must get an error reply rather than
+        hang past shutdown."""
         self._stop.set()
         self._q.put(None)  # wake the worker
         self._worker.join(timeout=10)
+        self._drain_failed()
+
+    def _drain_failed(self):
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except Empty:
+                return
+            if item is not None and not item[2].done():
+                item[2].set_exception(RuntimeError("batcher closed"))
 
     # -- worker -------------------------------------------------------
     def _collect(self):
@@ -251,6 +270,8 @@ class DynamicBatcher:
         return items
 
     def _loop(self):
+        # a batch already collected when close() lands still serves;
+        # never-collected requests are failed by close()'s drain
         while not self._stop.is_set():
             items = self._collect()
             if not items:
@@ -294,9 +315,13 @@ def serve_daemon(batcher: DynamicBatcher, img_size: int, out_dir: Path,
     Request decode runs in per-connection threads, so host IO overlaps
     the device batch in flight — the same overlap the folder sweeper
     gets from double buffering."""
+    import itertools
+    import re
+
     from .data.transforms import load_image
 
     out_dir.mkdir(parents=True, exist_ok=True)
+    seq = itertools.count()  # GIL-atomic; uniquifies output filenames
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
@@ -343,7 +368,13 @@ def serve_daemon(batcher: DynamicBatcher, img_size: int, out_dir: Path,
                     return {"id": rid, "ok": False,
                             "error": "no style (request key or --style)"}
                 out = batcher.submit(content, style).result(timeout=600)
-                path = out_dir / f"{rid}.png"
+                # client ids are untrusted: sanitize (no path escapes)
+                # and uniquify (concurrent id collisions must not
+                # overwrite each other's results — the reply carries
+                # the actual path)
+                safe = re.sub(r"[^A-Za-z0-9_.-]", "_", str(rid))[:80] \
+                    or "req"
+                path = out_dir / f"{safe}-{next(seq):06d}.png"
                 save_image(out, path)
                 return {"id": rid, "ok": True, "out": str(path),
                         "ms": round((time.perf_counter() - t0) * 1e3, 2)}

@@ -264,3 +264,21 @@ def test_reference_checkpoint_export_roundtrip(rng):
         if back["batch_stats"]:
             want_bs = {k: stats[k] for k in back["batch_stats"]}
             _tree_allclose(back["batch_stats"], want_bs, f"{kind}-bs")
+
+
+def test_export_se_requires_batch_stats(rng):
+    """export_tree without batch_stats on an SE model raises a clear
+    error (the reference checkpoint carries BN running stats) instead of
+    a bare KeyError."""
+    import pytest
+    exp = _load_tool("export_reference_checkpoint")
+    cfg = load_config(dict(network="multi_adain", enc_stack_way="constant",
+                           rp_blocks=3, hidden_dim=8, attention="se",
+                           img_size=16))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    c = jnp.zeros((1, 16, 16, 3))
+    _, vgg_vars = init_vgg_params(key, num_stages=bundle.vgg_stages)
+    variables = bundle.init(key, c, c, vgg_vars)
+    with pytest.raises(ValueError, match="batch_stats required"):
+        exp.export_tree(jax.device_get(variables["params"]))

@@ -176,3 +176,32 @@ def test_serve_daemon_cli(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_batcher_close_fails_stranded_requests():
+    """The batch in flight at close() still serves; requests never
+    collected (or submitted after close) get an error instead of a
+    future that never resolves."""
+    import threading as th
+
+    entered, gate = th.Event(), th.Event()
+
+    def run(c, s):
+        entered.set()
+        gate.wait(30)  # hold the worker inside the in-flight batch
+        return np.asarray(c)
+
+    b = DynamicBatcher(run, batch_size=1, max_wait_ms=1.0)
+    f1 = b.submit(_img(1), _img(0))
+    assert entered.wait(10)              # worker is now holding f1
+    f2 = b.submit(_img(2), _img(0))      # queued behind it
+    closer = th.Thread(target=b.close)
+    closer.start()                       # close blocks joining the worker
+    time.sleep(0.05)
+    gate.set()
+    closer.join(30)
+    np.testing.assert_allclose(f1.result(timeout=30), _img(1))
+    with pytest.raises(RuntimeError):
+        f2.result(timeout=30)
+    with pytest.raises(RuntimeError):
+        b.submit(_img(3), _img(0)).result(timeout=30)  # post-close

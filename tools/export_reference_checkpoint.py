@@ -70,6 +70,11 @@ def _bn_out(sd, pre, p, stats):
 
 
 def _sebottleneck_out(sd, pre, p, stats):
+    if not stats:
+        raise ValueError(
+            f"batch_stats required to export SE-bottleneck '{pre}' (the "
+            "reference checkpoint carries BN running_mean/var) — pass the "
+            "checkpoint's batch_stats tree to export_tree")
     for c in ("conv1", "conv2", "conv3"):
         _conv_out(sd, f"{pre}.{c}", p[c])
     for b in ("bn1", "bn2", "bn3"):
