@@ -1,0 +1,19 @@
+#!/bin/bash
+# Serialized on-hardware measurement batch — fires once when the axon
+# tunnel returns. Logs to /tmp/hw_all.log; box must stay otherwise idle.
+cd /root/repo
+exec > /tmp/hw_all.log 2>&1
+set -x
+date
+export PYTHONPATH=/root/.axon_site:src
+timeout 1200 python tools/hw_kernel_check.py
+timeout 1800 python -u tools/hw/hw_q8_check.py
+timeout 3600 python -u tools/hw/hw_q8_bench.py
+timeout 1800 python bench.py
+timeout 1800 python bench.py --train
+timeout 3600 python bench.py --all > /tmp/hw_bench_all.json 2>> /tmp/hw_all.log || true
+cat /tmp/hw_bench_all.json
+timeout 1800 python bench.py --hires
+timeout 1800 python -u tools/hw/hw_daemon_bench.py
+date
+echo HW_ALL_DONE
