@@ -205,3 +205,35 @@ def test_batcher_close_fails_stranded_requests():
         f2.result(timeout=30)
     with pytest.raises(RuntimeError):
         b.submit(_img(3), _img(0)).result(timeout=30)  # post-close
+
+
+def test_batcher_concurrent_submitters_stress():
+    """Many threads hammering submit() concurrently: every request gets
+    its own correct row back (no cross-request mixups from the
+    batching/padding/reply plumbing), and stats stay consistent."""
+    import threading as th
+
+    def run(c, s):
+        return np.asarray(c) * 2.0
+
+    b = DynamicBatcher(run, batch_size=4, max_wait_ms=2.0)
+    errs = []
+
+    def client(base):
+        try:
+            for i in range(10):
+                v = float(base * 100 + i)
+                out = b.submit(_img(v), _img(0)).result(timeout=60)
+                np.testing.assert_allclose(out, _img(2 * v))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [th.Thread(target=client, args=(t,)) for t in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    b.close()
+    assert not errs, errs
+    st = b.stats()
+    assert st["served"] == 60 and st["batches"] >= 15
