@@ -3,7 +3,11 @@ family baselines, 512px. Run serialized (box otherwise idle):
     PYTHONPATH=/root/.axon_site:src python -u tools/hw/hw_q8_bench.py
 """
 import sys
-sys.path.insert(0, "src")
+from pathlib import Path
+
+_ROOT = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(_ROOT / "src"))
+sys.path.insert(0, str(_ROOT))
 import jax
 
 print("devices:", jax.devices(), flush=True)
