@@ -120,6 +120,15 @@ class ModelBundle:
                 and self._folded_stack_ok()
                 and (self.cfg.hidden_dim * 4) % 128 == 0)
 
+    def q8_recommended(self) -> bool:
+        """q8 paths ``--mode auto`` should pick: those measured faster
+        than the family's best bf16 path on TPU v5e (BASELINE.md round-3
+        same-day A/B). spade is excluded — its cost is the bf16 SPADE
+        generator, so the int8 encoders only add requant overhead
+        (measured 9.2 vs 10.9 img/s b4 512px); ``--mode q8`` still
+        serves it explicitly."""
+        return self.q8_infer() and self.network != "spade"
+
     def _folded_dtype(self):
         return (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
                 else jnp.float32)

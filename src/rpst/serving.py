@@ -60,7 +60,7 @@ def resolve_mode(bundle, mode: str) -> str:
     magnitude slower than standard)."""
     if mode == "auto":
         q8_native = jax.default_backend() != "cpu"
-        mode = ("q8" if q8_native and bundle.q8_infer()
+        mode = ("q8" if q8_native and bundle.q8_recommended()
                 else "folded" if bundle.folded_infer() else "standard")
         logger.info(f"--mode auto resolved to {mode}")
     fast_ok = bundle.q8_infer() if mode == "q8" else bundle.folded_infer()

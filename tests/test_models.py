@@ -182,3 +182,17 @@ def test_q8_infer_gates_on_pool_divisibility():
         no = build_model(load_config(dict(BASE, network=net, img_size=bad)))
         assert ok.q8_infer(), (net, good)
         assert not no.q8_infer(), (net, bad)
+
+def test_q8_recommended_excludes_spade():
+    """--mode auto must not pick q8 for spade: its cost is the bf16
+    SPADE generator, and on-hw A/B measured the int8 encoders as a net
+    regression (9.2 vs 10.9 img/s b4 512px, BASELINE.md round 3). The
+    explicit q8 path stays available (q8_infer True)."""
+    spade = build_model(load_config(dict(
+        BASE, network="spade", spade_norm="instance")))
+    assert spade.q8_infer()
+    assert not spade.q8_recommended()
+    flag = build_model(load_config(dict(
+        BASE, network="multi_adain", enc_stack_way="constant",
+        hidden_dim=32)))
+    assert flag.q8_recommended() == flag.q8_infer()
