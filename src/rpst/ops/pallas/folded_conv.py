@@ -131,13 +131,15 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
 
 
 def _shrink_block_rows(h, w, c4, c4o, isz, block_rows, out_isz=None,
-                       min_rows=8):
+                       min_rows=8, extra_slabs=0):
     """Largest block_rows dividing h whose working set fits scoped VMEM.
 
     ``min_rows`` floors the VMEM-driven shrink (divisibility still shrinks
     below it): the folded kernels keep the historical floor of 8, while
     wide-channel standard-layout callers (512 lanes at 512 width) pass 1 —
-    at those sizes even 4-row blocks exceed the 16 MB scoped limit."""
+    at those sizes even 4-row blocks exceed the 16 MB scoped limit.
+    ``extra_slabs`` budgets additional slab-sized values (e.g. the wide-K
+    int8 kernel's lane-stacked x3 operand = 3 slabs)."""
     out_isz = isz if out_isz is None else out_isz
 
     def vmem_bytes(br):
@@ -145,6 +147,7 @@ def _shrink_block_rows(h, w, c4, c4o, isz, block_rows, out_isz=None,
         return (2 * slab          # double-buffered DMA scratch
                 + 2 * slab        # x_m1/x_p1 shifted copies
                 + slab            # ring-spliced slab
+                + extra_slabs * slab
                 + 4 * br * w * c4o            # f32/i32 accumulator
                 + 2 * br * w * c4o * out_isz)  # double-buffered out block
 

@@ -40,7 +40,8 @@ def quantize_activations(x: jnp.ndarray, scale):
 
 
 def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
-                 C4: int, out_int8: bool, with_stats: bool = False):
+                 C4: int, out_int8: bool, with_stats: bool = False,
+                 wide_k: bool = False):
     C = C4 // 4
     BR = block_rows
     total = N * num_blocks
@@ -113,13 +114,31 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
 
         c4o = k_ref.shape[-1]
         acc = jnp.zeros((BR * W, c4o), jnp.int32)
-        for dc, sl in ((0, x_m1), (1, slab), (2, x_p1)):
+        if wide_k:
+            # v5e's 2x int8 MXU rate feeds two int8 operands per bf16
+            # lane slot ALONG K — a K=128 contraction leaves half the
+            # int8 throughput idle.  Stack the three column shifts
+            # (already-materialized values; a lane-axis concat of
+            # 128-aligned chunks costs no cross-lane shuffles) into one
+            # K=3*C4 operand: 3 matmuls instead of 9, each at the full
+            # int8 rate.  Bit-exact vs the 9-matmul form (int32 sums
+            # reassociate).  The earlier rejected K=384 attempt stacked
+            # ROW windows, which are free slices — stacking them only
+            # added copies (NOTES.md); columns are the right axis.
+            x3 = jnp.concatenate([x_m1, slab, x_p1], axis=-1)
             for dr in range(3):
-                window = sl[dr:dr + BR]
                 acc += jax.lax.dot_general(
-                    window.reshape(BR * W, C4), k_ref[dr, dc],
+                    x3[dr:dr + BR].reshape(BR * W, 3 * C4), k_ref[dr],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
+        else:
+            for dc, sl in ((0, x_m1), (1, slab), (2, x_p1)):
+                for dr in range(3):
+                    window = sl[dr:dr + BR]
+                    acc += jax.lax.dot_general(
+                        window.reshape(BR * W, C4), k_ref[dr, dc],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
 
         # epilogue: dequant (x_scale * w_scale per lane) + bias + lrelu
         deq = scale_ref[0]   # (c4o,) f32: x_scale * w_scale
@@ -154,11 +173,17 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
     return kernel
 
 
+# Module default for the wide-K (K=3*C4) contraction; flipped by
+# measurement (tools/hw/hw_flagship_ab.py) — see the kernel comment.
+WIDE_K_DEFAULT = False
+
+
 def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
                          scales: jnp.ndarray, out_int8: bool,
                          block_rows: int = 16,
                          with_stats: bool = False,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         wide_k: bool | None = None):
     """Quantized lrelu(folded_reflect_conv(x) + bias).
 
     x_q: (N, H, W, 4C) int8; w_q: (3, 3, 4C, 4Co) int8;
@@ -172,14 +197,28 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
 
     n, h, w, c4 = x_q.shape
     c4o = w_q.shape[-1]
+    if wide_k is None:
+        wide_k = WIDE_K_DEFAULT
     block_rows = _shrink_block_rows(h, w, c4, c4o, 1, block_rows,
-                                    out_isz=1 if out_int8 else 2)
+                                    out_isz=1 if out_int8 else 2,
+                                    extra_slabs=3 if wide_k else 0)
     num_blocks = h // block_rows
 
     rings = jnp.concatenate([_row_ring(x_q, True), _row_ring(x_q, False)],
                             axis=1)  # (N, 2, W, C4) int8
+    if wide_k:
+        # (3, 3*C4, c4o): K3[dr] = [k[dr,0]; k[dr,1]; k[dr,2]], matching
+        # the kernel's lane-stacked [x_m1 | slab | x_p1] operand order
+        w_kernel = jnp.concatenate([w_q[:, 0], w_q[:, 1], w_q[:, 2]],
+                                   axis=1)
+        k_spec = pl.BlockSpec((3, 3 * c4, c4o), lambda n_, i_: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        w_kernel = w_q
+        k_spec = pl.BlockSpec((3, 3, c4, c4o), lambda n_, i_: (0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
     kernel = _make_kernel(block_rows, num_blocks, n, h, w, c4, out_int8,
-                          with_stats)
+                          with_stats, wide_k=wide_k)
     out_dtype = jnp.int8 if out_int8 else jnp.bfloat16
     out_specs = pl.BlockSpec((1, block_rows, w, c4o),
                              lambda n_, i_: (n_, i_, 0, 0),
@@ -201,8 +240,7 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 2, w, c4), lambda n_, i_: (n_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, c4, c4o), lambda n_, i_: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            k_spec,
             pl.BlockSpec((3, c4o), lambda n_, i_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -215,7 +253,7 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x_q, rings, w_q, scales)
+    )(x_q, rings, w_kernel, scales)
     if with_stats:
         out, s1, s2 = res
         return out, s1[:, 0], s2[:, 0]

@@ -440,3 +440,36 @@ def test_encode_std_q8_eligible_before_ineligible(rng):
     ref = np.asarray(ref, np.float32)
     err = np.abs(np.asarray(got, np.float32) - ref)
     assert float(err.mean()) < 0.05 * (float(np.abs(ref).mean()) + 1e-6)
+
+
+def test_fused_q8_kernel_wide_k_bit_exact(rng):
+    """The wide-K (K=3*C4 lane-stacked) contraction must be bit-exact vs
+    the 9-matmul form — int32 tap sums reassociate exactly. Covers both
+    output modes and the fused-stats epilogue."""
+    c = 32
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 4 * c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    kf, bf = fold_conv_kernel(k), fold_bias(b)
+    x_scale = float(jnp.max(jnp.abs(x))) / 127.0
+    x_q = quantize_activations(x, x_scale)
+    w_q, w_scale = quantize_weights(kf)
+    deq = x_scale * w_scale
+    inv = jnp.full_like(deq, 8.0)
+    sc = jnp.stack([deq, bf.astype(jnp.float32), inv])
+
+    ref = fused_folded_conv_q8(x_q, w_q, sc, out_int8=False,
+                               interpret=True, wide_k=False)
+    got = fused_folded_conv_q8(x_q, w_q, sc, out_int8=False,
+                               interpret=True, wide_k=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    ref8, rs1, rs2 = fused_folded_conv_q8(x_q, w_q, sc, out_int8=True,
+                                          with_stats=True,
+                                          interpret=True, wide_k=False)
+    got8, gs1, gs2 = fused_folded_conv_q8(x_q, w_q, sc, out_int8=True,
+                                          with_stats=True,
+                                          interpret=True, wide_k=True)
+    np.testing.assert_array_equal(np.asarray(got8), np.asarray(ref8))
+    np.testing.assert_array_equal(np.asarray(gs1), np.asarray(rs1))
+    np.testing.assert_array_equal(np.asarray(gs2), np.asarray(rs2))
