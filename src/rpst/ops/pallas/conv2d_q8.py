@@ -35,7 +35,7 @@ from .folded_conv import _shrink_block_rows
 
 def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
                  C: int, out_int8: bool, alpha: float, pad_mode: str,
-                 quantized: bool = True):
+                 quantized: bool = True, wide_k: bool = False):
     BR = block_rows
     total = N * num_blocks
 
@@ -110,13 +110,25 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
         co = k_ref.shape[-1]
         acc_t = jnp.int32 if quantized else jnp.float32
         acc = jnp.zeros((BR * W, co), acc_t)
-        for dc, sl in ((0, x_m1), (1, slab), (2, x_p1)):
+        if wide_k:
+            # K=3*C lane-stacked contraction — v5e's 2x int8 MXU rate
+            # needs K >= 256, so C=128 layers leave half the int8
+            # throughput idle in the 9-matmul form (see folded_conv_q8;
+            # bit-exact: int32 tap sums reassociate)
+            x3 = jnp.concatenate([x_m1, slab, x_p1], axis=-1)
             for dr in range(3):
-                window = sl[dr:dr + BR]  # static row slice (untiled dim)
                 acc += jax.lax.dot_general(
-                    window.reshape(BR * W, C), k_ref[dr, dc],
+                    x3[dr:dr + BR].reshape(BR * W, 3 * C), k_ref[dr],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=acc_t)
+        else:
+            for dc, sl in ((0, x_m1), (1, slab), (2, x_p1)):
+                for dr in range(3):
+                    window = sl[dr:dr + BR]  # static row slice (untiled)
+                    acc += jax.lax.dot_general(
+                        window.reshape(BR * W, C), k_ref[dr, dc],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=acc_t)
 
         if not quantized:
             y = acc + scale_ref[1]  # f32 accumulate + bias
@@ -199,11 +211,18 @@ def fused_conv2d_bf16(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     )(x, rings, w, scales)
 
 
+# Module default for the wide-K (K=3*C) contraction on sub-256-channel
+# layers; None = off, "auto" = engage when C < 256 (where the 9-matmul
+# form misses the 2x int8 MXU rate). Flipped by measurement.
+WIDE_K_DEFAULT: str | bool = False
+
+
 def fused_conv2d_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
                     scales: jnp.ndarray, out_int8: bool,
                     alpha: float = 0.2, pad_mode: str = "reflect",
                     block_rows: int = 16,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    wide_k: bool | str | None = None) -> jnp.ndarray:
     """Quantized act(pad_conv3x3(x) + bias) in the standard layout.
 
     x_q: (N, H, W, C) int8; w_q: (3, 3, C, Co) int8 (HWIO);
@@ -218,9 +237,14 @@ def fused_conv2d_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
         raise ValueError(f"unknown pad_mode {pad_mode!r}")
     n, h, w, c = x_q.shape
     co = w_q.shape[-1]
+    if wide_k is None:
+        wide_k = WIDE_K_DEFAULT
+    if wide_k == "auto":
+        wide_k = c < 256
     block_rows = _shrink_block_rows(h, w, c, co, 1, block_rows,
                                     out_isz=1 if out_int8 else 2,
-                                    min_rows=1)
+                                    min_rows=1,
+                                    extra_slabs=3 if wide_k else 0)
     num_blocks = h // block_rows
 
     if pad_mode == "reflect":
@@ -229,7 +253,16 @@ def fused_conv2d_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
     else:
         rings = jnp.zeros((n, 2, w, c), x_q.dtype)  # unread placeholder
     kernel = _make_kernel(block_rows, num_blocks, n, h, w, c, out_int8,
-                          alpha, pad_mode)
+                          alpha, pad_mode, wide_k=wide_k)
+    if wide_k:
+        w_kernel = jnp.concatenate([w_q[:, 0], w_q[:, 1], w_q[:, 2]],
+                                   axis=1)  # (3, 3*C, Co)
+        k_spec = pl.BlockSpec((3, 3 * c, co), lambda n_, i_: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        w_kernel = w_q
+        k_spec = pl.BlockSpec((3, 3, c, co), lambda n_, i_: (0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
     out_dtype = jnp.int8 if out_int8 else jnp.bfloat16
     return pl.pallas_call(
         kernel,
@@ -238,8 +271,7 @@ def fused_conv2d_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec((1, 2, w, c), lambda n_, i_: (n_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, c, co), lambda n_, i_: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            k_spec,
             pl.BlockSpec((3, co), lambda n_, i_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -254,4 +286,4 @@ def fused_conv2d_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x_q, rings, w_q, scales)
+    )(x_q, rings, w_kernel, scales)

@@ -114,3 +114,32 @@ def test_bf16_variant_matches_xla(pad_mode):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=1e-1)
+
+
+@pytest.mark.parametrize("pad_mode", ["reflect", "zero"])
+def test_wide_k_bit_exact(pad_mode):
+    """The wide-K (K=3*C lane-stacked) form must match the 9-matmul
+    form bit-for-bit — int32 tap sums reassociate exactly."""
+    rng = np.random.default_rng(5)
+    n, h, w, c, co = 2, 8, 12, 128, 128
+    x_q = jnp.asarray(rng.integers(-127, 128, (n, h, w, c), np.int8))
+    w_q = jnp.asarray(rng.integers(-127, 128, (3, 3, c, co), np.int8))
+    scales = jnp.asarray(np.stack([
+        rng.uniform(1e-4, 1e-3, co), rng.normal(0, 0.5, co),
+        rng.uniform(20.0, 80.0, co)]).astype(np.float32))
+    for out_int8 in (False, True):
+        ref = fused_conv2d_q8(x_q, w_q, scales, out_int8, alpha=0.2,
+                              pad_mode=pad_mode, block_rows=4,
+                              interpret=True, wide_k=False)
+        got = fused_conv2d_q8(x_q, w_q, scales, out_int8, alpha=0.2,
+                              pad_mode=pad_mode, block_rows=4,
+                              interpret=True, wide_k=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # "auto" engages below 256 channels and stays exact
+    auto = fused_conv2d_q8(x_q, w_q, scales, True, alpha=0.2,
+                           pad_mode=pad_mode, block_rows=4,
+                           interpret=True, wide_k="auto")
+    ref = fused_conv2d_q8(x_q, w_q, scales, True, alpha=0.2,
+                          pad_mode=pad_mode, block_rows=4,
+                          interpret=True, wide_k=False)
+    np.testing.assert_array_equal(np.asarray(auto), np.asarray(ref))

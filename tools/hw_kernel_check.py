@@ -119,6 +119,12 @@ def main():
         check(f"fused_folded_conv_q8 stats s2 b{bs} h{h}", s2, rs2,
               atol=0.005 * float(jnp.abs(rs2).max()))
 
+        # wide-K (K=3*C4) contraction must be BIT-exact vs the 9-matmul
+        # form on the chip (int32 sums reassociate)
+        wide = jax.jit(lambda x_q: fused_folded_conv_q8(
+            x_q, w_q, sc, out_int8=False, wide_k=True))(x_q)
+        check(f"fused_folded_conv_q8 wideK b{bs} h{h}", wide, got, atol=0.0)
+
     # standard-layout int8 conv (wide channels) vs emulated int reference
     from rpst.ops.pallas.conv2d_q8 import fused_conv2d_q8
 
@@ -161,6 +167,17 @@ def main():
             pad_mode="zero"))(x_qs)
         check(f"fused_conv2d_q8 zero ch{ch}->{co} b{bs} h{h}", got, ref,
               atol=0.25)
+
+        # wide-K form bit-exact vs narrow, both pad modes
+        for pm in ("reflect", "zero"):
+            a = jax.jit(lambda x_q: fused_conv2d_q8(
+                x_q, w_qs, scs, out_int8=False, pad_mode=pm,
+                wide_k=False))(x_qs)
+            b = jax.jit(lambda x_q: fused_conv2d_q8(
+                x_q, w_qs, scs, out_int8=False, pad_mode=pm,
+                wide_k=True))(x_qs)
+            check(f"fused_conv2d_q8 wideK {pm} ch{ch} b{bs}", b, a,
+                  atol=0.0)
 
     # flash attention fwd + bwd vs the dense reference
     from rpst.ops.pallas.flash_attention import (_dense_attention,
