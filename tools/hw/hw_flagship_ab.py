@@ -80,6 +80,37 @@ def check_wide_k_exact():
                 raise RuntimeError("wide-K kernel mismatch on hardware")
 
 
+def run_adain_q8(batch: int, wide_k, iters: int = 10):
+    """Standard-layout kernel A/B: adain h32/rp5 int8 serving with the
+    conv2d wide-K setting (False vs 'auto' = engage at C < 256)."""
+    from rpst.config import load_config
+    from rpst.models import build_model
+    from rpst.nn.vgg import init_vgg_params
+    from rpst.models.fast_path_q8 import calibrate_adain_q8, stylize_adain_q8
+    from rpst.ops.pallas import conv2d_q8 as cq8
+    cfg = load_config(dict(network="adain", rp_blocks=5, hidden_dim=32,
+                           img_size=bench.IMG))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content, style = _rand_pair(batch, bench.IMG)
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+    old = cq8.WIDE_K_DEFAULT
+    cq8.WIDE_K_DEFAULT = wide_k
+    try:
+        scales = calibrate_adain_q8(variables["params"], content, style)
+
+        def apply(variables, c, s):
+            return stylize_adain_q8(variables["params"], scales, c, s)
+
+        per = _bench_chained(apply, variables, content, style, iters=iters)
+    finally:
+        cq8.WIDE_K_DEFAULT = old
+    print(f"adain-q8 b{batch} wide_k={wide_k}: {batch/per:.2f} img/s "
+          f"({per*1e3:.2f} ms/pass)", flush=True)
+    return batch / per
+
+
 def run_bf16(batch: int, iters: int = 20):
     from rpst.models.fast_path import stylize_multi_adain_folded
     bundle = build("bfloat16")
@@ -106,6 +137,12 @@ if __name__ == "__main__":
                 run_q8(batch, 16, wide_k=wk)
     except Exception as e:
         print(f"wideK: {type(e).__name__}: {str(e)[:300]}", flush=True)
+    for wk in (False, "auto"):
+        try:
+            run_adain_q8(4, wk)
+        except Exception as e:
+            print(f"adain-q8 wide_k={wk}: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
     run_bf16(8)
     for br in (8, 24, 32):
         try:
