@@ -47,10 +47,23 @@ def load_mask(path, img_size: int) -> np.ndarray:
     return arr.astype(np.int32)
 
 
+def to_u8(arr) -> np.ndarray:
+    """f32 [0,1] → uint8 with the save-side rounding (clip·255+0.5 floor).
+
+    Exact round trip for ``load_image`` outputs (u/255·255+0.5 floors
+    back to u for every byte value), so shipping uint8 across the
+    host↔device boundary (4× less transfer than f32) loses nothing."""
+    a = np.asarray(arr, np.float32)
+    return (np.clip(a, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+
 def to_image(array) -> Image.Image:
-    """NHWC/HWC float [0,1] → PIL image (clip like torchvision save_image)."""
+    """NHWC/HWC float [0,1] (or already-quantized uint8) → PIL image
+    (clip like torchvision save_image)."""
     arr = np.asarray(array)
     if arr.ndim == 4:
         arr = arr[0]
+    if arr.dtype == np.uint8:
+        return Image.fromarray(arr, "RGB")
     arr = np.clip(arr, 0.0, 1.0)
     return Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8), "RGB")

@@ -173,9 +173,14 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
     return kernel
 
 
-# Module default for the wide-K (K=3*C4) contraction; flipped by
-# measurement (tools/hw/hw_flagship_ab.py) — see the kernel comment.
-WIDE_K_DEFAULT = False
+# Module default for the wide-K (K=3*C4) contraction. Measured on-chip
+# (tools/hw/hw_flagship_ab.py, 2026-08-18, paired A/B, bit-exact): b8
+# 556.4 -> 573.3 img/s (+3%), b1 261.9 -> 242.9 (-7%) — so "auto"
+# engages it at batch >= 4 only. The +3% also FALSIFIES the K>=256
+# int8-rate hypothesis on v5e: had K=128 halved the int8 MXU rate, the
+# win would have been ~40%; the folded q8 b8 residual is epilogue/VPU
+# cost, not matmul rate (BASELINE.md round-3 addendum).
+WIDE_K_DEFAULT: str | bool = "auto"
 
 
 def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
@@ -199,6 +204,8 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
     c4o = w_q.shape[-1]
     if wide_k is None:
         wide_k = WIDE_K_DEFAULT
+    if wide_k == "auto":
+        wide_k = n >= 4
     block_rows = _shrink_block_rows(h, w, c4, c4o, 1, block_rows,
                                     out_isz=1 if out_int8 else 2,
                                     extra_slabs=3 if wide_k else 0)

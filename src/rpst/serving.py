@@ -308,7 +308,8 @@ class DynamicBatcher:
 
 def serve_daemon(batcher: DynamicBatcher, img_size: int, out_dir: Path,
                  port: int = 0, host: str = "127.0.0.1",
-                 default_style: Optional[np.ndarray] = None) -> None:
+                 default_style: Optional[np.ndarray] = None,
+                 to_u8=None) -> None:
     """Line-delimited-JSON TCP serving loop over ``batcher`` (blocks
     until a ``{"cmd": "shutdown"}`` request).
 
@@ -359,9 +360,13 @@ def serve_daemon(batcher: DynamicBatcher, img_size: int, out_dir: Path,
             rid = req.get("id", "req")
             t0 = time.perf_counter()
             try:
-                content = load_image(req["content"], img_size)
+                # to_u8: ship uint8 across the device boundary (the
+                # caller's jitted fn dequantizes on device — 4x less
+                # transfer; exact round trip for 8-bit sources)
+                cvt = to_u8 if to_u8 is not None else (lambda a: a)
+                content = cvt(load_image(req["content"], img_size))
                 if "style" in req:
-                    style = load_image(req["style"], img_size)
+                    style = cvt(load_image(req["style"], img_size))
                 elif default_style is not None:
                     style = default_style
                 else:

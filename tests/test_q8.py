@@ -473,3 +473,26 @@ def test_fused_q8_kernel_wide_k_bit_exact(rng):
     np.testing.assert_array_equal(np.asarray(got8), np.asarray(ref8))
     np.testing.assert_array_equal(np.asarray(gs1), np.asarray(rs1))
     np.testing.assert_array_equal(np.asarray(gs2), np.asarray(rs2))
+
+
+def test_fused_q8_wide_k_auto_batch_gate(rng):
+    """wide_k='auto' (the default) engages at batch >= 4 and stays
+    bit-exact either way (measured: +3% b8, -7% b1 — BASELINE.md)."""
+    c = 32
+    for batch in (1, 4):
+        x = jnp.asarray(rng.normal(size=(batch, 8, 8, 4 * c))
+                        .astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, c, c)).astype(np.float32)
+                        * 0.2)
+        b = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+        kf, bf = fold_conv_kernel(k), fold_bias(b)
+        x_scale = float(jnp.max(jnp.abs(x))) / 127.0
+        x_q = quantize_activations(x, x_scale)
+        w_q, w_scale = quantize_weights(kf)
+        sc = jnp.stack([x_scale * w_scale, bf.astype(jnp.float32),
+                        jnp.full_like(w_scale, 8.0)])
+        ref = fused_folded_conv_q8(x_q, w_q, sc, out_int8=True,
+                                   interpret=True, wide_k=False)
+        auto = fused_folded_conv_q8(x_q, w_q, sc, out_int8=True,
+                                    interpret=True, wide_k="auto")
+        np.testing.assert_array_equal(np.asarray(auto), np.asarray(ref))
