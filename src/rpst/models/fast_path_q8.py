@@ -673,11 +673,22 @@ def _decode_std_q8(dec, act_scales, it, x, dtype, conv_q):
     return x
 
 
+def _calib_cap(content, style, cap: int = 2):
+    """Cap the calibration batch for the full-resolution wide-channel
+    (standard-layout) families: per-tensor absmax scales don't need more
+    samples, and an uncapped b4+ bf16 calibration pass holds every
+    512-channel 512px activation at once — measured pushing a 16 GB v5e
+    to RESOURCE_EXHAUSTED (2026-08-18). Calibration peak memory must not
+    exceed serving peak memory."""
+    return content[:cap], style[:cap]
+
+
 def calibrate_adain_q8(params, content, style) -> Dict[str, np.ndarray]:
     """One calibration pass -> per-tensor symmetric input scales for
     :func:`stylize_adain_q8` (absmax / 127 over representative batches)."""
     from ..ops.stats import adaptive_instance_normalization as adain
 
+    content, style = _calib_cap(content, style)
     n = content.shape[0]
 
     def collect(p, c, s):
@@ -730,6 +741,7 @@ def calibrate_wct_q8(params, content, style, method="closed-form",
     """Calibration absmaxes for :func:`stylize_wct_q8`."""
     from ..ops.wct import wct_fuse
 
+    content, style = _calib_cap(content, style)
     n = content.shape[0]
 
     def collect(p, c, s):
@@ -778,6 +790,8 @@ def stylize_wct_q8(params, scales, content, style, method="closed-form",
 def calibrate_spade_q8(params, content, style) -> Dict[str, np.ndarray]:
     """Calibration absmaxes for :func:`stylize_spade_q8` (content-encoder
     scales then style-encoder scales; the SPADE generator stays bf16)."""
+    content, style = _calib_cap(content, style)
+
     def collect(p, c, s):
         ident = lambda f: f
         _, a_c = _collect_rp_sequence(
@@ -951,6 +965,8 @@ def calibrate_mrf_q8(params, content, style) -> Dict[str, np.ndarray]:
     """Calibration absmaxes for :func:`stylize_mrf_q8` (content-encoder
     scales, then style-encoder scales, then decoder scales — the exact
     order the q8 pass consumes them)."""
+    content, style = _calib_cap(content, style)
+
     def collect(p, c, s):
         enc_c, enc_s, dec = _mrf_stacks(p)
         ident = lambda f: f

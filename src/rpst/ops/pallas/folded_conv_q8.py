@@ -26,6 +26,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .folded_conv import _shrink_block_rows
 
 
+# Measurement-only switch (see the kernel's TIMING_STUB branch): bounds
+# the fused epilogue's cost by replacing it with a 2-op cast. WRONG
+# numerics — only the tools/hw timing runners may flip it.
+TIMING_STUB = False
+
+
 def quantize_weights(w: jnp.ndarray):
     """(..., Cout) float -> (int8 weights, (Cout,) f32 scales)."""
     absmax = jnp.max(jnp.abs(w.reshape(-1, w.shape[-1])), axis=0)
@@ -139,6 +145,24 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
                         window.reshape(BR * W, C4), k_ref[dr, dc],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32)
+
+        if TIMING_STUB:
+            # measurement-only path (numerically WRONG): replaces the
+            # ~10-op f32 epilogue with a 2-op cast to bound the
+            # epilogue's share of the step on-chip. Never enabled in
+            # product code — tools/hw runners flip it around a timing
+            # run only.
+            if with_stats:
+                z = jnp.zeros((1, 1, k_ref.shape[-1]), jnp.float32)
+                s1_ref[...] = z
+                s2_ref[...] = z
+            if out_int8:
+                o_ref[0] = (acc >> 7).astype(jnp.int8).reshape(
+                    BR, W, k_ref.shape[-1])
+            else:
+                o_ref[0] = acc.astype(o_ref.dtype).reshape(
+                    BR, W, k_ref.shape[-1])
+            return
 
         # epilogue: dequant (x_scale * w_scale per lane) + bias + lrelu
         deq = scale_ref[0]   # (c4o,) f32: x_scale * w_scale
