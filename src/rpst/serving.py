@@ -74,7 +74,26 @@ def resolve_mode(bundle, mode: str) -> str:
 
 def calibrate_scales(bundle, cfg, variables, vgg_vars, calib, calib_style):
     """One-shot PTQ calibration for ``mode='q8'`` on a representative
-    batch — dispatches to the family's calibrator (fast_path_q8)."""
+    batch — dispatches to the family's calibrator (fast_path_q8).
+
+    On device RESOURCE_EXHAUSTED the pass retries once with a single
+    calibration image: the shared-device free memory fluctuates
+    (observed 2026-08-18 — identical capped passes alternated between
+    success and OOM), and per-tensor absmax scales from one image are a
+    strictly better outcome than a dead serving process."""
+    try:
+        return _calibrate_scales(bundle, cfg, variables, vgg_vars,
+                                 calib, calib_style)
+    except Exception as e:
+        if "RESOURCE_EXHAUSTED" not in str(e) or calib.shape[0] <= 1:
+            raise
+        logger.warning("calibration hit RESOURCE_EXHAUSTED; retrying "
+                       "with a single-image batch")
+        return _calibrate_scales(bundle, cfg, variables, vgg_vars,
+                                 calib[:1], calib_style[:1])
+
+
+def _calibrate_scales(bundle, cfg, variables, vgg_vars, calib, calib_style):
     from .models import fast_path_q8 as q8
 
     net = bundle.network

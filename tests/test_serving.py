@@ -237,3 +237,34 @@ def test_batcher_concurrent_submitters_stress():
     assert not errs, errs
     st = b.stats()
     assert st["served"] == 60 and st["batches"] >= 15
+
+
+def test_calibrate_scales_retries_on_resource_exhausted(monkeypatch):
+    """A device RESOURCE_EXHAUSTED during calibration retries once with
+    a single-image batch (shared-device free memory fluctuates)."""
+    from rpst import serving
+
+    calls = []
+
+    def fake(bundle, cfg, variables, vgg_vars, calib, calib_style):
+        calls.append(calib.shape[0])
+        if len(calls) == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return {"act_scales": np.zeros(3, np.float32)}
+
+    monkeypatch.setattr(serving, "_calibrate_scales", fake)
+    out = serving.calibrate_scales(None, None, None, None,
+                                   np.zeros((4, 8, 8, 3), np.float32),
+                                   np.zeros((4, 8, 8, 3), np.float32))
+    assert calls == [4, 1]
+    assert "act_scales" in out
+
+    # non-OOM errors propagate unchanged
+    def fail(*a):
+        raise ValueError("boom")
+
+    monkeypatch.setattr(serving, "_calibrate_scales", fail)
+    with pytest.raises(ValueError):
+        serving.calibrate_scales(None, None, None, None,
+                                 np.zeros((2, 8, 8, 3), np.float32),
+                                 np.zeros((2, 8, 8, 3), np.float32))
