@@ -211,6 +211,11 @@ def bench_std_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
             p["adain_rp"], c, s)
         stylize = lambda p, sc, c, s: q8.stylize_adain_q8(
             p["adain_rp"], sc, c, s)
+    elif network == "ld_adain":
+        calibrate = partial(q8.calibrate_ld_q8,
+                            stylized_layers=cfg.stylized_layers)
+        stylize = partial(q8.stylize_ld_q8,
+                          stylized_layers=cfg.stylized_layers)
     else:
         calibrate = q8.calibrate_adain_q8
         stylize = q8.stylize_adain_q8

@@ -13,9 +13,11 @@ at a fixed image size, pick the execution strategy by flag:
 
 folded covers the constant-stack families (multi_adain,
 sel_multi_adain, ccam, mst); q8 covers those plus adain, seg_adain, wct,
-mrf, spade (wide-channel standard-layout int8 kernel) and sanet,
-dynamic_sanet, src (chained-int8 VGG encode + int8 mirror decode); other
-networks fall back to standard automatically.
+mrf, spade (wide-channel standard-layout int8 kernel), sanet,
+dynamic_sanet, src (chained-int8 VGG encode + int8 mirror decode) and
+ld_adain (Pallas 3x3 smalls + XLA int8 7x7 bigs — the 2x-int8-rate
+window, fast_path_q8._xla_conv_q8); other networks fall back to
+standard automatically.
 
 ``--mesh N`` serves data-parallel over the first N devices (batch sharded
 on a ``data`` axis; params replicated); ``--mesh data=2,spatial=2`` adds

@@ -113,6 +113,15 @@ class ModelBundle:
             # int8 encoders + bf16 SPADE generator; the syncbatch variant
             # carries batch_stats the serving path doesn't thread
             return self.cfg.spade_norm == "instance"
+        if self.network == "ld_adain":
+            # LD v1: dual-branch layers whose width hidden*2^i hits 128
+            # lanes run int8 (3x3 small via the Pallas kernel, 7x7 big
+            # via XLA's int8 conv — the 2x-rate window, fast_path_q8.
+            # _xla_conv_q8); require at least the deepest layer aligned.
+            # v2-v5 stay bf16 (pooled branches / matmul upsamplers).
+            return (not self.cfg.use_mask
+                    and (self.cfg.hidden_dim
+                         * 2 ** (self.cfg.ld_layer_num - 1)) % 128 == 0)
         # folded int8 kernels need 128-lane alignment (4*hidden_dim);
         # narrower stacks should serve folded bf16 instead
         return (self.network in ("multi_adain", "sel_multi_adain", "ccam",

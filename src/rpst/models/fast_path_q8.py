@@ -575,10 +575,12 @@ def _stats_q8(q, scale, eps: float = 1e-5):
 
 
 def _make_conv_q_std(dtype, block_rows: int, interpret: bool,
-                     pad_mode: str = "zero"):
+                     pad_mode: str = "zero", alpha: float = 0.0):
     """Standard-layout int8 conv closure: ``pad_mode='zero'`` + relu is
     the RPSequence block (nn/blocks.py:RPSequence); ``'reflect'`` + relu
-    is the VGG / VGG-mirror-decoder block (nn/vgg.py, nn/decoder.py)."""
+    is the VGG / VGG-mirror-decoder block (nn/vgg.py, nn/decoder.py);
+    ``'reflect'`` + ``alpha=0.2`` is the Conv2dBlock default (lrelu —
+    the LD family's stacks, reference adain_rp.py:484-567)."""
     from ..ops.pallas.conv2d_q8 import fused_conv2d_q8
 
     def conv_q(x_q, x_scale, k, b, out_scale=None):
@@ -588,13 +590,13 @@ def _make_conv_q_std(dtype, block_rows: int, interpret: bool,
         if out_scale is None:
             sc = jnp.stack([srow0, srow1, jnp.zeros_like(srow0)])
             return fused_conv2d_q8(x_q, w_q, sc, out_int8=False,
-                                   alpha=0.0, pad_mode=pad_mode,
+                                   alpha=alpha, pad_mode=pad_mode,
                                    block_rows=block_rows,
                                    interpret=interpret).astype(dtype)
         srow2 = jnp.broadcast_to(jnp.float32(1.0 / out_scale), srow0.shape)
         sc = jnp.stack([srow0, srow1, srow2])
         return fused_conv2d_q8(x_q, w_q, sc, out_int8=True,
-                               alpha=0.0, pad_mode=pad_mode,
+                               alpha=alpha, pad_mode=pad_mode,
                                block_rows=block_rows, interpret=interpret)
 
     return conv_q
@@ -1268,4 +1270,175 @@ def stylize_src_q8(params, vgg_vars, scales, content, style,
     st = _ScaleStream(scales["act_scales"])
     conv_q = _make_conv_q_std(dtype, block_rows, interpret, "reflect")
     out = _src_q8_pass(params, vgg_vars, content, style, st, dtype, conv_q)
+    return out.astype(content.dtype)
+
+
+# ---------------------------------------------------------------------------
+# ld_adain (LD v1) int8 PTQ serving
+# ---------------------------------------------------------------------------
+
+def _lrelu_conv(x, k, b, dtype):
+    """bf16 reflect-pad conv + lrelu(0.2) — the Conv2dBlock default the
+    whole LD family is built from (reference adain_rp.py:484-567; pad =
+    K//2 covers both the 3x3 small and 7x7 big branches)."""
+    p = k.shape[0] // 2
+    if p:
+        x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b.astype(dtype)
+    return jnp.where(y >= 0, y, 0.2 * y)
+
+
+def _xla_conv_q8(x_q, x_s, k, b, dtype, out_scale=None, alpha: float = 0.2):
+    """Int8 reflect conv through XLA's own conv path + fused epilogue.
+
+    For contractions K*K*C >= ~5k (the LD 7x7 branches) XLA's int8
+    ``conv_general_dilated`` engages the true 2x int8 MXU rate on v5e —
+    measured 255 TOP/s at 7x7 c256 and 172 at 7x7 c128 vs the 197 TF/s
+    bf16 peak (tools/hw/hw_conv7_probe*.py, 2026-08-19; the first paths
+    in this repo to exceed the bf16-rate floor — BASELINE.md's "never
+    observed" conclusion was specific to Mosaic dot_general and XLA 3x3
+    convs).  The Pallas standard-layout kernel stays the pick for 3x3."""
+    p = k.shape[0] // 2
+    w_q, w_scale = quantize_weights(k.astype(jnp.float32))
+    xp = jnp.pad(x_q, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+    y = jax.lax.conv_general_dilated(
+        xp, w_q, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    f = y.astype(jnp.float32) * (x_s * w_scale) + b.astype(jnp.float32)
+    f = jnp.where(f >= 0, f, alpha * f)
+    if out_scale is None:
+        return f.astype(dtype)
+    q = jnp.clip(jnp.round(f / out_scale), -127, 127)
+    return q.astype(jnp.int8)
+
+
+def _ld_stacks(params):
+    """[(small_kb, big_kb)] per encoder layer + [dec_kb] from the LD v1
+    param tree (models/ld_adain.py: rp_enc{i}_{small,big}_revf /
+    rp_dec{i} Conv2dBlocks)."""
+    def kb(name):
+        c = params[name]["PadConv_0"]["Conv_0"]
+        return c["kernel"], c["bias"]
+
+    L = sum(1 for n in params if n.endswith("_small_revf"))
+    enc = [(kb(f"rp_enc{i}_small_revf"), kb(f"rp_enc{i}_big_revf"))
+           for i in range(L)]
+    D = sum(1 for n in params if n.startswith("rp_dec"))
+    dec = [kb(f"rp_dec{i}") for i in range(D)]
+    return enc, dec
+
+
+def _ld_q8_pass(params, content, style, st, dtype, conv_q,
+                stylized_layers: int):
+    """LD v1 forward (2N shared encode — exact, models/ld_adain.py:257-279)
+    with the lane-aligned layers int8: at each aligned dual-branch layer
+    the input is quantized ONCE and both branches consume the same int8
+    tensor — the 3x3 small branch through the Pallas standard-layout
+    kernel, the 7x7 big branch through XLA's int8 conv (2x-rate window,
+    see _xla_conv_q8) — and both requantize to a SHARED output scale so
+    the channel-concat stays a pure int8 concat.  Aligned decoder convs
+    quantize per-conv (the AdaIN fusion additions between them are the
+    style signal and stay float, mirroring every other q8 path)."""
+    from ..ops.stats import adaptive_instance_normalization as adain
+
+    enc, dec = _ld_stacks(params)
+    L = len(enc)
+    n = content.shape[0]
+
+    def elig(i):
+        (ks, _), (kg, _) = enc[i]
+        return _q8_eligible(ks) and _q8_eligible(kg)
+
+    x = jnp.concatenate([content, style], axis=0).astype(dtype)
+    x_q8 = False   # is x (really or virtually) int8 right now?
+    x_s = None     # replay: the int8 scale
+    feats = []     # (tensor, scale-or-None) per layer
+    for i in range(L):
+        (ks, bs_), (kg, bg) = enc[i]
+        if elig(i):
+            if not x_q8:
+                s = st.take(x)
+                if not st.recording:
+                    x, x_s = quantize_activations(x, s), s
+            chain = i + 1 < L and elig(i + 1)
+            if st.recording:
+                sm = _lrelu_conv(x, ks, bs_, dtype)
+                bg_o = _lrelu_conv(x, kg, bg, dtype)
+                x = jnp.concatenate([sm, bg_o], axis=-1)
+                if chain:
+                    st.take(x)  # shared branch out scale
+                x_q8, x_s = chain, None
+                feats.append((x, None))
+            else:
+                out_s = st.take(None) if chain else None
+                sm = conv_q(x, x_s, ks, bs_, out_scale=out_s)
+                bg_o = _xla_conv_q8(x, x_s, kg, bg, dtype, out_scale=out_s)
+                x = jnp.concatenate([sm, bg_o], axis=-1)
+                x_q8, x_s = chain, out_s
+                feats.append((x, out_s))
+        else:
+            if not st.recording and x_s is not None:
+                x = _deq(x, x_s, dtype)
+            x_q8, x_s = False, None
+            sm = _lrelu_conv(x, ks, bs_, dtype)
+            bg_o = _lrelu_conv(x, kg, bg, dtype)
+            x = jnp.concatenate([sm, bg_o], axis=-1)
+            feats.append((x, None))
+
+    def fsplit(i):
+        t, s = feats[i]
+        f = t if s is None else _deq(t, s, dtype)
+        return f[:n], f[n:]
+
+    def dec_apply(x, k, b):
+        if _q8_eligible(k):
+            s = st.take(x)
+            if not st.recording:
+                return conv_q(quantize_activations(x, s), s, k, b)
+        return _lrelu_conv(x, k, b, dtype)
+
+    # decode (models/ld_adain.py:228-255, variant 1: running-fusion
+    # adain(stylized, style_feat) — reference adain_rp.py:550)
+    cf, sf = fsplit(L - 1)
+    stylized = dec_apply(adain(cf, sf).astype(dtype), *dec[0])
+    for i in range(L - 1):
+        _, sfi = fsplit(L - 2 - i)
+        if i < stylized_layers - 1:
+            stylized = stylized + adain(stylized, sfi).astype(dtype)
+        stylized = dec_apply(stylized, *dec[i + 1])
+    return stylized
+
+
+def calibrate_ld_q8(params, content, style,
+                    stylized_layers: int = 5) -> Dict[str, np.ndarray]:
+    """Calibration scales for :func:`stylize_ld_q8` (recording pass over
+    the identical code path; batches capped like the other wide-channel
+    calibrators)."""
+    content, style = _calib_cap(content, style)
+
+    def collect(params, c, s):
+        st = _ScaleStream()
+        _ld_q8_pass(params, c, s, st, jnp.bfloat16, None, stylized_layers)
+        return st.absmax
+
+    absmax = jax.jit(collect)(params, content, style)
+    return {"act_scales": np.asarray(
+        [max(float(a), 1e-6) / 127.0 for a in absmax], np.float32)}
+
+
+def stylize_ld_q8(params, scales, content, style,
+                  stylized_layers: int = 5, dtype=jnp.bfloat16,
+                  block_rows: int = 16,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Int8 PTQ LD v1 serving (reference adain_rp.py:484-567): the
+    dual-branch 128/256-channel layers and the two wide decoder convs
+    int8, AdaIN fusions bf16."""
+    st = _ScaleStream(scales["act_scales"])
+    conv_q = _make_conv_q_std(dtype, block_rows, interpret, "reflect",
+                              alpha=0.2)
+    out = _ld_q8_pass(params, content, style, st, dtype, conv_q,
+                      stylized_layers)
     return out.astype(content.dtype)

@@ -128,6 +128,9 @@ def _calibrate_scales(bundle, cfg, variables, vgg_vars, calib, calib_style):
             n_clusters=cfg.n_clusters, mst_lambda=cfg.mst_lambda)
     if net == "spade":
         return q8.calibrate_spade_q8(variables["params"], calib, calib_style)
+    if net == "ld_adain":
+        return q8.calibrate_ld_q8(variables["params"], calib, calib_style,
+                                  stylized_layers=cfg.stylized_layers)
     return q8.calibrate_multi_adain_q8(variables["params"], calib,
                                        calib_style)
 
@@ -189,6 +192,11 @@ def make_run_impl(bundle, cfg, mode: str, scales, vgg_vars,
             return q8.stylize_spade_q8(
                 variables["params"], scales, content, style,
                 ndf=cfg.ndf, spade_norm=cfg.spade_norm,
+                interpret=q8_interpret)
+        if net == "ld_adain":
+            return q8.stylize_ld_q8(
+                variables["params"], scales, content, style,
+                stylized_layers=cfg.stylized_layers,
                 interpret=q8_interpret)
         return q8.stylize_multi_adain_folded_q8(
             variables["params"], scales, content, style,

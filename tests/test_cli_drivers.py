@@ -181,6 +181,7 @@ def test_serve_cli_spatial_mesh(trained, tmp_path):
     ("mst", {"hidden_dim": 32, "rp_blocks": 3, "stylized_layers": 1,
              "n_clusters": 2}),
     ("spade", {"hidden_dim": 32, "rp_blocks": 5}),
+    ("ld_adain", {"hidden_dim": 16, "rp_blocks": 5, "use_mask": False}),
 ])
 def test_serve_cli_q8(tmp_path, net, over):
     """--mode q8 through the CLI on the CPU backend (the serve driver

@@ -403,6 +403,48 @@ def test_q8_spade_quality_vs_f32(rng):
     assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
 
 
+def test_q8_ld_adain_quality_vs_f32(rng):
+    """Int8 PTQ LD v1 serving (aligned dual-branch layers int8: 3x3
+    small via the Pallas kernel, 7x7 big via XLA's int8 conv, shared
+    out-scale concat; wide decoder convs int8) stays close to the
+    standard f32 path."""
+    from rpst.models.fast_path_q8 import calibrate_ld_q8, stylize_ld_q8
+
+    cfg = load_config(dict(network="ld_adain", img_size=32, hidden_dim=16,
+                           rp_blocks=5, use_mask=False))
+    bundle = build_model(cfg)
+    assert bundle.q8_infer()
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    variables = bundle.init(key, content, style, None)
+    params = variables["params"]
+
+    ref = np.asarray(bundle.stylize(variables, None, content, style))
+    scales = calibrate_ld_q8(params, content, style,
+                             stylized_layers=cfg.stylized_layers)
+    # h16/L5: layer-3 input scale, the layer-3 shared branch out scale
+    # (= layer-4 input), dec0 input, dec1 input = 4
+    assert len(scales["act_scales"]) == 4
+    got = np.asarray(stylize_ld_q8(params, scales, content, style,
+                                   stylized_layers=cfg.stylized_layers,
+                                   dtype=jnp.float32, interpret=True))
+    psnr = _psnr(got, ref)
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_q8_ld_gate():
+    """q8_infer for the LD family: v1 with an aligned deepest layer
+    only; masked fusion and the v2-v5 variants serve bf16."""
+    mk = lambda **kw: build_model(load_config(dict(img_size=32, **kw)))
+    assert mk(network="ld_adain", hidden_dim=16, rp_blocks=5).q8_infer()
+    # narrow stack: deepest width 4*2^4 = 64 misses the 128 lanes
+    assert not mk(network="ld_adain", hidden_dim=4, rp_blocks=5).q8_infer()
+    assert not mk(network="ld_adain", hidden_dim=16, rp_blocks=5,
+                  use_mask=True).q8_infer()
+    assert not mk(network="ld_adain5", hidden_dim=16, rp_blocks=5).q8_infer()
+
+
 def test_encode_std_q8_eligible_before_ineligible(rng):
     """An int8-eligible layer followed by an XLA (non-aligned) layer must
     emit DEQUANTIZED floats and consume no scale there — calibration

@@ -38,6 +38,14 @@ def bench_op(make_x, op, iters=30, repeats=3):
     def run_n(x, n):
         def body(i, carry):
             x, acc = carry
+            # i-dependent input perturbation prevents loop-invariant
+            # hoisting (bench.py:_bench_chained) — without it XLA computes
+            # the conv ONCE and the loop times nothing (first run of this
+            # probe printed 1462 "TF/s", 7x the chip's bf16 peak)
+            if x.dtype == jnp.int8:
+                x = x.at[0, 0, 0, 0].add((i % 2).astype(jnp.int8))
+            else:
+                x = x.at[0, 0, 0, 0].add(1e-12 * i)
             y = op(x)
             return (x, acc + jnp.float32(jnp.mean(y.astype(jnp.float32))))
 

@@ -37,6 +37,8 @@ CASES = [
     ("mst", dict(network="mst", enc_stack_way="constant", rp_blocks=3,
                  hidden_dim=32, stylized_layers=1, n_clusters=2), "mst"),
     ("spade", dict(network="spade", hidden_dim=32, rp_blocks=5), "spade"),
+    ("ld_adain", dict(network="ld_adain", hidden_dim=16, rp_blocks=5,
+                      use_mask=False), "ld"),
 ]
 
 for name, cfgd, kind in CASES:
@@ -75,6 +77,11 @@ for name, cfgd, kind in CASES:
                                          n_clusters=2)
             fn = partial(q8.stylize_mst_folded_q8, params, scales,
                          stylized_layers=1, n_clusters=2)
+        elif kind == "ld":
+            scales = q8.calibrate_ld_q8(params, c, s,
+                                        stylized_layers=cfg.stylized_layers)
+            fn = partial(q8.stylize_ld_q8, params, scales,
+                         stylized_layers=cfg.stylized_layers)
         else:
             scales = q8.calibrate_spade_q8(params, c, s)
             fn = partial(q8.stylize_spade_q8, params, scales, ndf=cfg.ndf,
