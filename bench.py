@@ -417,6 +417,8 @@ def main():
                         exec_strategy="folded")
         bench_family("ld_adain", hidden_dim=16, ld_layer_num=5,
                      stylized_layers=5)
+        bench_std_q8("ld_adain", hidden_dim=16, ld_layer_num=5,
+                     stylized_layers=5, use_mask=False)
         bench_family("ld_adain2", hidden_dim=8, ld_layer_num=5)
         bench_family("ld_adain3", hidden_dim=32, ld_layer_num=5,
                      stylized_layers=5)

@@ -1431,14 +1431,41 @@ def calibrate_ld_q8(params, content, style,
 
 def stylize_ld_q8(params, scales, content, style,
                   stylized_layers: int = 5, dtype=jnp.bfloat16,
-                  block_rows: int = 16,
-                  interpret: bool = False) -> jnp.ndarray:
+                  block_rows: int = 16, interpret: bool = False,
+                  conv_impl: str = "auto") -> jnp.ndarray:
     """Int8 PTQ LD v1 serving (reference adain_rp.py:484-567): the
     dual-branch 128/256-channel layers and the two wide decoder convs
-    int8, AdaIN fusions bf16."""
+    int8, AdaIN fusions bf16.
+
+    ``conv_impl`` picks the int8 conv engine for the 3x3 smalls and
+    decoder convs (the 7x7 bigs always run through XLA — its int8 conv
+    path is the only one that engages the 2x MXU rate, 284-346 TOP/s):
+
+    - ``'pallas'``: the standard-layout Mosaic kernel — fastest at
+      batch >= 4 (2N encode >= 8), where XLA lays the convs out
+      row-major and the two engines share layouts for free.
+    - ``'xla'``: everything through :func:`_xla_conv_q8` — at small
+      batch XLA's convs switch to a space-to-batch form with layout
+      {3,0,2,1:T(2,128)} while Mosaic custom calls pin row-major
+      {3,2,1,0:T(8,128)(4,1)}, and mixing them inserts ~1.5 GB of
+      transposing relayout copies per pass (s32[2,512,512,256] conv
+      outputs among them — measured 210 ms vs 52 ms at b1 512px,
+      tools/hw/hw_ld_q8_bisect.py + the HLO dump). One engine =
+      one layout world.
+    - ``'auto'``: ``'pallas'`` iff the shared 2N encode batch >= 8.
+
+    Measured 512px (h16/L5, v5e): b1 13.5 -> 19.4 img/s, b2 12.1 ->
+    16.3 (xla), b4 15.2 -> 26.4 (pallas) — vs the bf16 fast path."""
+    if conv_impl == "auto":
+        conv_impl = "pallas" if 2 * content.shape[0] >= 8 else "xla"
     st = _ScaleStream(scales["act_scales"])
-    conv_q = _make_conv_q_std(dtype, block_rows, interpret, "reflect",
-                              alpha=0.2)
+    if conv_impl == "xla":
+        def conv_q(x_q, x_s, k, b, out_scale=None):
+            return _xla_conv_q8(x_q, x_s, k, b, dtype,
+                                out_scale=out_scale, alpha=0.2)
+    else:
+        conv_q = _make_conv_q_std(dtype, block_rows, interpret, "reflect",
+                                  alpha=0.2)
     out = _ld_q8_pass(params, content, style, st, dtype, conv_q,
                       stylized_layers)
     return out.astype(content.dtype)

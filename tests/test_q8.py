@@ -403,11 +403,13 @@ def test_q8_spade_quality_vs_f32(rng):
     assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
 
 
-def test_q8_ld_adain_quality_vs_f32(rng):
-    """Int8 PTQ LD v1 serving (aligned dual-branch layers int8: 3x3
-    small via the Pallas kernel, 7x7 big via XLA's int8 conv, shared
-    out-scale concat; wide decoder convs int8) stays close to the
-    standard f32 path."""
+@pytest.mark.parametrize("conv_impl", ["pallas", "xla"])
+def test_q8_ld_adain_quality_vs_f32(rng, conv_impl):
+    """Int8 PTQ LD v1 serving (aligned dual-branch layers int8, shared
+    out-scale concat, wide decoder convs int8) stays close to the
+    standard f32 path — for BOTH conv engines: 'pallas' (batch >= 4)
+    and 'xla' (small batch — one layout world, no Mosaic/XLA-conv
+    relayout storm; see stylize_ld_q8)."""
     from rpst.models.fast_path_q8 import calibrate_ld_q8, stylize_ld_q8
 
     cfg = load_config(dict(network="ld_adain", img_size=32, hidden_dim=16,
@@ -428,7 +430,8 @@ def test_q8_ld_adain_quality_vs_f32(rng):
     assert len(scales["act_scales"]) == 4
     got = np.asarray(stylize_ld_q8(params, scales, content, style,
                                    stylized_layers=cfg.stylized_layers,
-                                   dtype=jnp.float32, interpret=True))
+                                   dtype=jnp.float32, interpret=True,
+                                   conv_impl=conv_impl))
     psnr = _psnr(got, ref)
     assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
 

@@ -80,8 +80,16 @@ for name, cfgd, kind in CASES:
         elif kind == "ld":
             scales = q8.calibrate_ld_q8(params, c, s,
                                         stylized_layers=cfg.stylized_layers)
+            # check BOTH conv engines on hw (auto gates on batch)
             fn = partial(q8.stylize_ld_q8, params, scales,
-                         stylized_layers=cfg.stylized_layers)
+                         stylized_layers=cfg.stylized_layers,
+                         conv_impl="pallas")
+            got_x = np.asarray(jax.jit(partial(
+                q8.stylize_ld_q8, params, scales,
+                stylized_layers=cfg.stylized_layers,
+                conv_impl="xla"))(c, s))
+            print(f"{name}[xla]: on-hw q8 PSNR {psnr(got_x, ref):.1f} dB",
+                  flush=True)
         else:
             scales = q8.calibrate_spade_q8(params, c, s)
             fn = partial(q8.stylize_spade_q8, params, scales, ndf=cfg.ndf,
