@@ -190,9 +190,10 @@ def bench_family(network: str, batches=(1, 4), img=IMG, **cfg_over):
 
 
 def bench_std_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
-    """adain/wct/mrf/seg_adain int8 PTQ serving (standard-layout
+    """adain/wct/mrf/seg_adain/ld_adain int8 PTQ serving (standard-layout
     wide-channel Pallas kernel, fast_path_q8.stylize_adain_q8 /
-    stylize_wct_q8) — stderr only."""
+    stylize_wct_q8; ld_adain adds XLA int8 7x7 bigs + the conv_impl
+    batch gate, stylize_ld_q8) — stderr only."""
     from functools import partial
     from rpst.config import load_config
     from rpst.models import build_model

@@ -117,9 +117,15 @@ class ModelBundle:
             # LD v1: dual-branch layers whose width hidden*2^i hits 128
             # lanes run int8 (3x3 small via the Pallas kernel, 7x7 big
             # via XLA's int8 conv — the 2x-rate window, fast_path_q8.
-            # _xla_conv_q8); require at least the deepest layer aligned.
-            # v2-v5 stay bf16 (pooled branches / matmul upsamplers).
+            # _xla_conv_q8); require at least the deepest layer aligned
+            # (its input width is hidden*2^(L-1) for L >= 2; at L == 1
+            # the only layer reads the 3-channel image, never eligible).
+            # The q8 pass reads only PadConv_0 from each block, so any
+            # inception 1x1 stack must be absent. v2-v5 stay bf16
+            # (pooled branches / matmul upsamplers).
             return (not self.cfg.use_mask
+                    and self.cfg.inception_num == 0
+                    and self.cfg.ld_layer_num >= 2
                     and (self.cfg.hidden_dim
                          * 2 ** (self.cfg.ld_layer_num - 1)) % 128 == 0)
         # folded int8 kernels need 128-lane alignment (4*hidden_dim);

@@ -445,6 +445,13 @@ def test_q8_ld_gate():
     assert not mk(network="ld_adain", hidden_dim=4, rp_blocks=5).q8_infer()
     assert not mk(network="ld_adain", hidden_dim=16, rp_blocks=5,
                   use_mask=True).q8_infer()
+    # the q8 pass reads only PadConv_0 per block — inception 1x1 stacks
+    # would be silently dropped, so the gate must refuse them
+    assert not mk(network="ld_adain", hidden_dim=16, rp_blocks=5,
+                  inception_num=1).q8_infer()
+    # L=1: the single layer reads the 3-channel image — nothing eligible
+    assert not mk(network="ld_adain", hidden_dim=128,
+                  ld_layer_num=1).q8_infer()
     assert not mk(network="ld_adain5", hidden_dim=16, rp_blocks=5).q8_infer()
 
 

@@ -74,8 +74,12 @@ def run(tag, batch, patch_big=False, patch_small=False):
                                     stylized_layers=cfg.stylized_layers)
 
         def apply(params, c, s):
+            # pin the mixed engine: conv_impl='auto' (added after these
+            # measurements) would route small batches XLA-only and
+            # silently change what the arms measure
             return q8.stylize_ld_q8(params, scales, c, s,
-                                    stylized_layers=cfg.stylized_layers)
+                                    stylized_layers=cfg.stylized_layers,
+                                    conv_impl="pallas")
 
         per = _bench_chained(apply, params, content, style, iters=10)
         print(f"{tag} b{batch}: {batch/per:.2f} img/s ({per*1e3:.1f} ms)",

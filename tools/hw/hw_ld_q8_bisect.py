@@ -85,7 +85,8 @@ def trunc_pass(params, content, style, st, upto: str):
             feats.append((x, None))
     if upto in ("enc3", "enc4"):
         t, s = feats[-1]
-        return t.astype(jnp.float32) if s is None else t.astype(jnp.float32)
+        return t.astype(jnp.float32) if s is None else q8._deq(
+            t, s, jnp.float32)
 
     def fsplit(i):
         t, s = feats[i]

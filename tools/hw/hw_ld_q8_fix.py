@@ -81,8 +81,11 @@ def run(tag, batch, xla_fn=None, patch_small=False):
                                     stylized_layers=cfg.stylized_layers)
 
         def apply(params, c, s):
+            # pin the mixed engine (conv_impl='auto' postdates this
+            # experiment and would reroute small batches XLA-only)
             return q8.stylize_ld_q8(params, scales, c, s,
-                                    stylized_layers=cfg.stylized_layers)
+                                    stylized_layers=cfg.stylized_layers,
+                                    conv_impl="pallas")
 
         per = _bench_chained(apply, params, content, style, iters=10)
         print(f"{tag} b{batch}: {batch/per:.2f} img/s ({per*1e3:.1f} ms)",

@@ -37,37 +37,24 @@ cfg = load_config(dict(network="ld_adain", img_size=512, hidden_dim=16,
 bundle = build_model(cfg)
 rng = jax.random.PRNGKey(0)
 
-_orig_makeconv = q8._make_conv_q_std
-
-
-def _xla_factory(dtype, block_rows, interpret, pad_mode="reflect",
-                 alpha=0.2):
-    def conv_q(x_q, x_scale, k, b, out_scale=None):
-        return q8._xla_conv_q8(x_q, x_scale, k, b, dtype,
-                               out_scale=out_scale, alpha=alpha)
-
-    return conv_q
-
-
 for batch in (1, 2, 4):
-    q8._make_conv_q_std = _xla_factory
-    try:
-        content, style = _rand_pair(batch, 512)
-        variables = jax.jit(partial(bundle.model.init, train=False))(
-            rng, content, style)
-        params = variables["params"]
-        scales = q8.calibrate_ld_q8(params, content, style,
-                                    stylized_layers=cfg.stylized_layers)
+    # measured via the _make_conv_q_std monkeypatch originally; the
+    # result shipped as conv_impl='xla', so drive that directly now
+    content, style = _rand_pair(batch, 512)
+    variables = jax.jit(partial(bundle.model.init, train=False))(
+        rng, content, style)
+    params = variables["params"]
+    scales = q8.calibrate_ld_q8(params, content, style,
+                                stylized_layers=cfg.stylized_layers)
 
-        def apply(params, c, s):
-            return q8.stylize_ld_q8(params, scales, c, s,
-                                    stylized_layers=cfg.stylized_layers)
+    def apply(params, c, s):
+        return q8.stylize_ld_q8(params, scales, c, s,
+                                stylized_layers=cfg.stylized_layers,
+                                conv_impl="xla")
 
-        per = _bench_chained(apply, params, content, style, iters=10)
-        print(f"X xla-only b{batch}: {batch/per:.2f} img/s "
-              f"({per*1e3:.1f} ms)", flush=True)
-    finally:
-        q8._make_conv_q_std = _orig_makeconv
+    per = _bench_chained(apply, params, content, style, iters=10)
+    print(f"X xla-only b{batch}: {batch/per:.2f} img/s "
+          f"({per*1e3:.1f} ms)", flush=True)
 
 # bf16 reference at b2 (the one unmeasured comparison point)
 content, style = _rand_pair(2, 512)
