@@ -438,6 +438,10 @@ def main():
                      enc_stack_way="constant", rp_blocks=5, hidden_dim=32,
                      inception_num=0, attention="none",
                      exec_strategy="folded")
+        bench_engine_q8("multi_adain", batches=(1, 2), img=1024,
+                        enc_stack_way="constant", rp_blocks=5,
+                        hidden_dim=32, inception_num=0, attention="none",
+                        exec_strategy="folded")
         return
     log(f"devices: {jax.devices()}")
     results = {}
