@@ -152,8 +152,10 @@ def _family_sweep(label: str, network: str, make_apply, batches, img,
     returns ``(apply, tree)`` for :func:`_bench_chained`."""
     base = FAMILY_BASELINE_IMG_PER_S.get(network)
     for batch in batches:
-        content, style = _rand_pair(batch, img)
         try:
+            # inside the try: _rand_pair device-puts, which can itself
+            # raise RESOURCE_EXHAUSTED under tunnel-server heap drift
+            content, style = _rand_pair(batch, img)
             apply, tree = make_apply(content, style)
             per = _bench_chained(apply, tree, content, style, iters=iters)
             vs = f", vs_baseline {batch/per/base:.2f}x" if base else ""
@@ -162,6 +164,11 @@ def _family_sweep(label: str, network: str, make_apply, batches, img,
         except Exception as e:
             log(f"[all] {label} {img}px batch={batch}: "
                 f"{type(e).__name__}: {str(e)[:120]}")
+    # drop this family's compiled executables (and their device-side
+    # buffers) — the long --all sweep otherwise accumulates server-side
+    # heap until an innocent device_put hits RESOURCE_EXHAUSTED
+    # (observed 2026-08-19 at the 20th program of the sweep)
+    jax.clear_caches()
 
 
 def bench_family(network: str, batches=(1, 4), img=IMG, **cfg_over):
