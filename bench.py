@@ -151,6 +151,11 @@ def _family_sweep(label: str, network: str, make_apply, batches, img,
     family must not abort the --all sweep).  ``make_apply(content, style)``
     returns ``(apply, tree)`` for :func:`_bench_chained`."""
     base = FAMILY_BASELINE_IMG_PER_S.get(network)
+    if base is not None and img != IMG:
+        # the denominators are FLOPs-derived at 512px; conv FLOPs scale
+        # linearly with pixel count (the quadratic attention/affinity paths
+        # scale faster, so this understates our advantage at high res)
+        base *= (IMG / img) ** 2
     for batch in batches:
         try:
             # inside the try: _rand_pair device-puts, which can itself
