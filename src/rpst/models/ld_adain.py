@@ -265,8 +265,9 @@ class LDAdaINRP(nn.Module):
         # and v5 — which benefited while its ConvTranspose dominated
         # (b1 6.4 -> 10.9) — flipped once the NonOverlapConvTranspose
         # rewrite removed that sink (b4 40.4 -> 30.7, b1 neutral), so the
-        # batching is gated to variant 1 only.
-        if self.variant == 1:
+        # batching is gated to variant 1, plus variant 2 at batch >= 4
+        # (hw_ld2_2n_ab.py 2026-08-19: b4 20.8 -> 24.1, b1 27.0 -> 23.5).
+        if self.variant == 1 or (self.variant == 2 and content.shape[0] >= 4):
             n = content.shape[0]
             feats = self.encode_intermediate(
                 jnp.concatenate([content, style], axis=0), train=train)

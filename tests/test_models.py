@@ -132,6 +132,23 @@ def test_masked_stylize_multi_adain():
     assert not np.allclose(np.asarray(img), np.asarray(img2), atol=1e-5)
 
 
+def test_ld2_2n_batch_gate_exact():
+    """Variant 2 takes the 2N shared-encoder path at batch >= 4 (measured
+    +16% at b4 on v5e, hw_ld2_2n_ab.py); it must be EXACT — stylizing a
+    batch of 4 equals stylizing each pair alone (batch 1 uses the
+    separate-encode path, so this crosses the gate)."""
+    bundle, variables, vgg_vars, _, _ = _setup("ld_adain2")
+    rng = np.random.default_rng(2)
+    content = jnp.asarray(rng.random((4, 32, 32, 3), np.float32))
+    style = jnp.asarray(rng.random((4, 32, 32, 3), np.float32))
+    batched = np.asarray(bundle.stylize(variables, vgg_vars, content, style))
+    for i in range(4):
+        single = np.asarray(bundle.stylize(
+            variables, vgg_vars, content[i:i + 1], style[i:i + 1]))
+        np.testing.assert_allclose(batched[i:i + 1], single,
+                                   atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_ld_variants_stylized_layers_lt_layer_num():
     """The reference crashes for ld1-3 with stylized_layers < layer_num
