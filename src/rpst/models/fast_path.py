@@ -42,12 +42,15 @@ def _conv_lrelu(x, k, b, use_pallas):
     rotated-kernel conv + ring transpose; weight-grad via folded
     correlation), hardware-verified in tools/hw_kernel_check.py.
     ``use_pallas='auto'`` picks the measured winner: the fused kernel at
-    small batch (latency: 243 vs 203 img/s b1 at 512px) and at high
+    batch <= 4 (512px b1: 243 vs 203 img/s; b4 — hw_b4_pallas_ab.py
+    2026-08-19 — multi_adain 312 vs 248, sel 291 vs 118, ccam 263 vs
+    101: the XLA arm has a deep N=4 layout pathology) and at high
     resolution (1024px b4: 87.5 vs 25.8 img/s — the XLA ring pad copies
     degrade with width); XLA's pipelined conv on the ring-padded copy
-    only wins for large batches of ≤512px images (512 vs 392 img/s b8)."""
+    only wins for large batches of ≤512px images (b8: multi_adain 478
+    vs 369, sel 400 vs 324, ccam 299 vs 291)."""
     if use_pallas == "auto":
-        use_pallas = x.shape[0] <= 2 or x.shape[2] >= 512
+        use_pallas = x.shape[0] <= 4 or x.shape[2] >= 512
     if (use_pallas and k.shape[2] % 128 == 0 and k.shape[3] % 128 == 0
             and jax.default_backend() != "cpu"):
         return folded_conv_lrelu(x, k, b)
