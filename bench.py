@@ -229,6 +229,11 @@ def bench_std_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
                             stylized_layers=cfg.stylized_layers)
         stylize = partial(q8.stylize_ld_q8,
                           stylized_layers=cfg.stylized_layers)
+    elif network == "ld_adain2":
+        calibrate = partial(q8.calibrate_ld2_q8,
+                            stylized_layers=cfg.stylized_layers)
+        stylize = partial(q8.stylize_ld2_q8,
+                          stylized_layers=cfg.stylized_layers)
     else:
         calibrate = q8.calibrate_adain_q8
         stylize = q8.stylize_adain_q8
@@ -433,6 +438,8 @@ def main():
         bench_std_q8("ld_adain", hidden_dim=16, ld_layer_num=5,
                      stylized_layers=5, use_mask=False)
         bench_family("ld_adain2", hidden_dim=8, ld_layer_num=5)
+        bench_std_q8("ld_adain2", hidden_dim=8, ld_layer_num=5,
+                     use_mask=False)
         bench_family("ld_adain3", hidden_dim=32, ld_layer_num=5,
                      stylized_layers=5)
         bench_family("ld_adain4", hidden_dim=32, ld_layer_num=5)

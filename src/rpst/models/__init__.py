@@ -121,10 +121,22 @@ class ModelBundle:
             # (its input width is hidden*2^(L-1) for L >= 2; at L == 1
             # the only layer reads the 3-channel image, never eligible).
             # The q8 pass reads only PadConv_0 from each block, so any
-            # inception 1x1 stack must be absent. v2-v5 stay bf16
-            # (pooled branches / matmul upsamplers).
+            # inception 1x1 stack must be absent. v3-v5 stay bf16
+            # (constant-width stacks never reach 128 lanes).
             return (not self.cfg.use_mask
                     and self.cfg.inception_num == 0
+                    and self.cfg.ld_layer_num >= 2
+                    and (self.cfg.hidden_dim
+                         * 2 ** (self.cfg.ld_layer_num - 1)) % 128 == 0)
+        if self.network == "ld_adain2":
+            # LD v2: same doubling widths as v1; at the aligned layers the
+            # 3x3 small AND the big branch's two full-res 3x3 relu convs
+            # run int8 (fast_path_q8.stylize_ld2_q8). The q8 maxpool is
+            # the exact 2x2/2 form — needs an even image size (the bf16
+            # path pools SAME/ceil and takes any size).
+            return (not self.cfg.use_mask
+                    and self.cfg.inception_num == 0
+                    and self.cfg.img_size % 2 == 0
                     and self.cfg.ld_layer_num >= 2
                     and (self.cfg.hidden_dim
                          * 2 ** (self.cfg.ld_layer_num - 1)) % 128 == 0)

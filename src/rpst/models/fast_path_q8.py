@@ -1469,3 +1469,175 @@ def stylize_ld_q8(params, scales, content, style,
     out = _ld_q8_pass(params, content, style, st, dtype, conv_q,
                       stylized_layers)
     return out.astype(content.dtype)
+
+
+def _ld2_stacks(params):
+    """[(small_kb, conv1x1_kb, conv_a_kb, conv_b_kb)] per encoder layer +
+    [dec_kb] from the LD v2 param tree (models/ld_adain.py: the big branch
+    is a VGGishBigBranch — conv1x1 (linear) -> reflect 3x3 relu x2 ->
+    2x2/2 maxpool -> trailing reflect pad -> nearest re-upsample;
+    reference adain_rp.py:580-625)."""
+    def kb(sub):
+        c = sub["PadConv_0"]["Conv_0"]
+        return c["kernel"], c["bias"]
+
+    L = sum(1 for n in params if n.endswith("_small_revf"))
+    enc = []
+    for i in range(L):
+        big = params[f"rp_enc{i}_big_revf"]
+        enc.append((kb(params[f"rp_enc{i}_small_revf"]),
+                    (big["conv1x1"]["kernel"], big["conv1x1"]["bias"]),
+                    (big["conv_a"]["Conv_0"]["kernel"],
+                     big["conv_a"]["Conv_0"]["bias"]),
+                    (big["conv_b"]["Conv_0"]["kernel"],
+                     big["conv_b"]["Conv_0"]["bias"])))
+    D = sum(1 for n in params if n.startswith("rp_dec"))
+    dec = [kb(params[f"rp_dec{i}"]) for i in range(D)]
+    return enc, dec
+
+
+def _conv1x1(x, k, b, dtype):
+    """The VGGishBigBranch head: a linear (un-activated) 1x1 conv.  Stays
+    bf16 — its contraction (K = C) sits below every measured int8
+    fast-rate window and it carries ~2% of the family's MACs."""
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), k.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b.astype(dtype)
+
+
+def _ld2_q8_pass(params, content, style, st, dtype, conv_lrelu, conv_relu,
+                 stylized_layers: int):
+    """LD v2 forward (2N shared encode — exact, no batch-coupled ops)
+    with the lane-aligned dual-branch layers int8.
+
+    At each aligned layer three convs quantize: the 3x3 small branch
+    (lrelu), and the big branch's two full-resolution reflect 3x3 relu
+    convs chained int8 (the conv1x1 between the shared input and conv_a
+    stays bf16, so conv_a's input is quantized separately).  The maxpool
+    / trailing pad / nearest upsample run bf16 on conv_b's float output
+    (they're past the wide full-res convs that carry the MACs), and the
+    branch concat is float — the deepest concat feeds AdaIN, which is
+    the style signal and never quantizes.  The decoder reuses the v1
+    running-fusion decode (reference adain_rp.py:550) with aligned convs
+    int8."""
+    from ..ops.stats import adaptive_instance_normalization as adain
+    from .ld_adain import _resize_nearest
+
+    enc, dec = _ld2_stacks(params)
+    L = len(enc)
+    n = content.shape[0]
+
+    def elig(i):
+        (ks, _), _, (ka, _), (kb_, _) = enc[i]
+        return (_q8_eligible(ks) and _q8_eligible(ka)
+                and _q8_eligible(kb_))
+
+    x = jnp.concatenate([content, style], axis=0).astype(dtype)
+    feats = []
+    for i in range(L):
+        (ks, bs_), c1, (ka, ba), (kb_, bb) = enc[i]
+        h, w = x.shape[1], x.shape[2]
+        t = _conv1x1(x, *c1, dtype)
+        if elig(i):
+            s_x = st.take(x)
+            s_t = st.take(t)
+            if st.recording:
+                sm = _lrelu_conv(x, ks, bs_, dtype)
+                a = _reflect_conv(t, ka, ba, dtype)
+                st.take(a)  # conv_a -> conv_b chain scale
+                bg = _reflect_conv(a, kb_, bb, dtype)
+            else:
+                sm = conv_lrelu(quantize_activations(x, s_x), s_x, ks, bs_)
+                s_ab = st.take(None)
+                a = conv_relu(quantize_activations(t, s_t), s_t, ka, ba,
+                              out_scale=s_ab)
+                bg = conv_relu(a, s_ab, kb_, bb)
+        else:
+            sm = _lrelu_conv(x, ks, bs_, dtype)
+            a = _reflect_conv(t, ka, ba, dtype)
+            bg = _reflect_conv(a, kb_, bb, dtype)
+        bg = _maxpool2x_any(bg)
+        bg = jnp.pad(bg, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        bg = _resize_nearest(bg, h, w)
+        x = jnp.concatenate([sm, bg.astype(sm.dtype)], axis=-1)
+        feats.append(x)
+
+    def fsplit(i):
+        return feats[i][:n], feats[i][n:]
+
+    def dec_apply(x, k, b):
+        if _q8_eligible(k):
+            s = st.take(x)
+            if not st.recording:
+                return conv_lrelu(quantize_activations(x, s), s, k, b)
+        return _lrelu_conv(x, k, b, dtype)
+
+    # decode (models/ld_adain.py:228-255, variant 2 = variant 1's
+    # running-fusion adain(stylized, style_feat) — reference adain_rp:550)
+    cf, sf = fsplit(L - 1)
+    stylized = dec_apply(adain(cf, sf).astype(dtype), *dec[0])
+    for i in range(L - 1):
+        _, sfi = fsplit(L - 2 - i)
+        if i < stylized_layers - 1:
+            stylized = stylized + adain(stylized, sfi).astype(dtype)
+        stylized = dec_apply(stylized, *dec[i + 1])
+    return stylized
+
+
+def calibrate_ld2_q8(params, content, style,
+                     stylized_layers: int = 5) -> Dict[str, np.ndarray]:
+    """Calibration scales for :func:`stylize_ld2_q8` (recording pass over
+    the identical code path; batches capped like the other wide-channel
+    calibrators)."""
+    content, style = _calib_cap(content, style)
+
+    def collect(params, c, s):
+        st = _ScaleStream()
+        _ld2_q8_pass(params, c, s, st, jnp.bfloat16, None, None,
+                     stylized_layers)
+        return st.absmax
+
+    absmax = jax.jit(collect)(params, content, style)
+    return {"act_scales": np.asarray(
+        [max(float(a), 1e-6) / 127.0 for a in absmax], np.float32)}
+
+
+def stylize_ld2_q8(params, scales, content, style,
+                   stylized_layers: int = 5, dtype=jnp.bfloat16,
+                   block_rows: int = 16, interpret: bool = False,
+                   conv_impl: str = "auto") -> jnp.ndarray:
+    """Int8 PTQ LD v2 serving (reference adain_rp.py:580-625): the
+    lane-aligned dual-branch layers int8 — the 3x3 small (lrelu) plus
+    the big branch's two full-resolution 3x3 relu convs — and the wide
+    decoder convs int8; conv1x1 / pool / upsample / AdaIN fusions bf16.
+
+    All int8 convs here are 3x3, so ``conv_impl`` is a pure engine
+    choice with no mixed-engine layout risk (see :func:`stylize_ld_q8`);
+    ``'pallas'`` = the standard-layout Mosaic kernel, ``'xla'`` = XLA's
+    int8 conv, ``'auto'`` = pallas iff the shared 2N encode batch >= 4
+    — with no XLA int8 convs in the mix the crossover sits LOWER than
+    v1's (hw A/B 2026-08-19: b1 pallas 23.0 vs xla 25.5 img/s, b2 28.2
+    vs 22.2).
+
+    Measured 512px (h8/L5, v5e) vs the bf16 path: b1 26.9 -> 25.5
+    (-5%: the one point below bf16 — only ~44% of the family's MACs are
+    lane-aligned), b2 20.9 -> 28.2 (+35%), b4 24.3 -> 27.9 (+15%)."""
+    if conv_impl == "auto":
+        conv_impl = "pallas" if 2 * content.shape[0] >= 4 else "xla"
+    st = _ScaleStream(scales["act_scales"])
+    if conv_impl == "xla":
+        def conv_lrelu(x_q, x_s, k, b, out_scale=None):
+            return _xla_conv_q8(x_q, x_s, k, b, dtype,
+                                out_scale=out_scale, alpha=0.2)
+
+        def conv_relu(x_q, x_s, k, b, out_scale=None):
+            return _xla_conv_q8(x_q, x_s, k, b, dtype,
+                                out_scale=out_scale, alpha=0.0)
+    else:
+        conv_lrelu = _make_conv_q_std(dtype, block_rows, interpret,
+                                      "reflect", alpha=0.2)
+        conv_relu = _make_conv_q_std(dtype, block_rows, interpret,
+                                     "reflect", alpha=0.0)
+    out = _ld2_q8_pass(params, content, style, st, dtype, conv_lrelu,
+                       conv_relu, stylized_layers)
+    return out.astype(content.dtype)

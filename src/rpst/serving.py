@@ -131,6 +131,9 @@ def _calibrate_scales(bundle, cfg, variables, vgg_vars, calib, calib_style):
     if net == "ld_adain":
         return q8.calibrate_ld_q8(variables["params"], calib, calib_style,
                                   stylized_layers=cfg.stylized_layers)
+    if net == "ld_adain2":
+        return q8.calibrate_ld2_q8(variables["params"], calib, calib_style,
+                                   stylized_layers=cfg.stylized_layers)
     return q8.calibrate_multi_adain_q8(variables["params"], calib,
                                        calib_style)
 
@@ -195,6 +198,11 @@ def make_run_impl(bundle, cfg, mode: str, scales, vgg_vars,
                 interpret=q8_interpret)
         if net == "ld_adain":
             return q8.stylize_ld_q8(
+                variables["params"], scales, content, style,
+                stylized_layers=cfg.stylized_layers,
+                interpret=q8_interpret)
+        if net == "ld_adain2":
+            return q8.stylize_ld2_q8(
                 variables["params"], scales, content, style,
                 stylized_layers=cfg.stylized_layers,
                 interpret=q8_interpret)

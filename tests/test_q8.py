@@ -436,11 +436,51 @@ def test_q8_ld_adain_quality_vs_f32(rng, conv_impl):
     assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
 
 
+@pytest.mark.parametrize("conv_impl", ["pallas", "xla"])
+def test_q8_ld_adain2_quality_vs_f32(rng, conv_impl):
+    """Int8 PTQ LD v2 serving (aligned dual-branch layers int8: the 3x3
+    small plus the big branch's two full-res 3x3 relu convs chained
+    int8; conv1x1/pool/upsample bf16) stays close to the standard f32
+    path for both conv engines."""
+    from rpst.models.fast_path_q8 import calibrate_ld2_q8, stylize_ld2_q8
+
+    cfg = load_config(dict(network="ld_adain2", img_size=32, hidden_dim=8,
+                           rp_blocks=5, use_mask=False))
+    bundle = build_model(cfg)
+    assert bundle.q8_infer()
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    variables = bundle.init(key, content, style, None)
+    params = variables["params"]
+
+    ref = np.asarray(bundle.stylize(variables, None, content, style))
+    scales = calibrate_ld2_q8(params, content, style,
+                              stylized_layers=cfg.stylized_layers)
+    # h8/L5: layer 4 is the one aligned layer (input 128) -> 3 scales
+    # (shared input, conv_a input, conv_a->conv_b link) + dec0 input = 4
+    assert len(scales["act_scales"]) == 4
+    got = np.asarray(stylize_ld2_q8(params, scales, content, style,
+                                    stylized_layers=cfg.stylized_layers,
+                                    dtype=jnp.float32, interpret=True,
+                                    conv_impl=conv_impl))
+    psnr = _psnr(got, ref)
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+
 def test_q8_ld_gate():
-    """q8_infer for the LD family: v1 with an aligned deepest layer
-    only; masked fusion and the v2-v5 variants serve bf16."""
+    """q8_infer for the LD family: v1/v2 with an aligned deepest layer
+    only; masked fusion and the v3-v5 variants serve bf16."""
     mk = lambda **kw: build_model(load_config(dict(img_size=32, **kw)))
     assert mk(network="ld_adain", hidden_dim=16, rp_blocks=5).q8_infer()
+    assert mk(network="ld_adain2", hidden_dim=8, rp_blocks=5).q8_infer()
+    # v2's exact 2x2/2 maxpool needs an even image size
+    assert not build_model(load_config(dict(
+        network="ld_adain2", img_size=33, hidden_dim=8,
+        rp_blocks=5))).q8_infer()
+    assert not mk(network="ld_adain2", hidden_dim=4, rp_blocks=5).q8_infer()
+    assert not mk(network="ld_adain2", hidden_dim=8, rp_blocks=5,
+                  use_mask=True).q8_infer()
     # narrow stack: deepest width 4*2^4 = 64 misses the 128 lanes
     assert not mk(network="ld_adain", hidden_dim=4, rp_blocks=5).q8_infer()
     assert not mk(network="ld_adain", hidden_dim=16, rp_blocks=5,
