@@ -202,6 +202,19 @@ def main():
 
     _run_impl = make_run_impl(bundle, cfg, mode, scales, vgg_vars,
                               q8_interpret=q8_interpret)
+    if (mesh is not None and spatial_par > 1 and mode == "folded"
+            and bundle.network == "multi_adain"):
+        # one shard_map over the spatial axis: ppermute halo rows + psum'd
+        # AdaIN stats, per-shard Pallas kernels (Mosaic custom calls can't
+        # be SPMD-partitioned, but under shard_map they never need to be)
+        from rpst.models.fast_path_spatial import \
+            stylize_multi_adain_folded_spatial
+        _dtypef = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                   else jnp.float32)
+        _run_impl = lambda v, c, s: stylize_multi_adain_folded_spatial(
+            v["params"], c, s, mesh, dtype=_dtypef)
+        logger.info("spatial mesh: shard_map folded stylize (halo "
+                    "exchange + per-shard fused kernels)")
 
     def _run_u8(variables, content, style):
         """uint8 transfer boundary: images cross host<->device as uint8

@@ -534,12 +534,21 @@ def folded_conv_relu(x_f, folded_kernel, folded_bias):
 def fused_folded_conv(x_f: jnp.ndarray, folded_kernel: jnp.ndarray,
                       folded_bias: jnp.ndarray, block_rows: int = 16,
                       interpret: bool = False,
-                      alpha: float = 0.2) -> jnp.ndarray:
+                      alpha: float = 0.2,
+                      rings: jnp.ndarray | None = None) -> jnp.ndarray:
     """lrelu(folded_reflect_conv(x_f) + bias) for NHWC folded tensors.
 
     x_f: (N, H, W, 4C); folded_kernel: (3, 3, 4C, 4Co) (see
     ``ops.folded.fold_conv_kernel``); folded_bias: (4Co,). block_rows is
-    shrunk to a divisor of H automatically."""
+    shrunk to a divisor of H automatically.
+
+    ``rings`` overrides the two virtual boundary rows (N, 2, W, 4C) —
+    row 0 is read as the row ABOVE x_f, row 1 as the row BELOW.  The
+    default is the reflect ring (``ops.folded._row_ring``); a spatially
+    sharded caller (models/fast_path_spatial.py) passes neighbor-shard
+    edge rows here instead, which makes the same kernel exact on an
+    H-shard: interior halos via ppermute, reflect only at the global
+    image boundary."""
     from ..folded import _row_ring
 
     n, h, w, c4 = x_f.shape
@@ -548,8 +557,11 @@ def fused_folded_conv(x_f: jnp.ndarray, folded_kernel: jnp.ndarray,
                                     block_rows)
     num_blocks = h // block_rows
 
-    rings = jnp.concatenate([_row_ring(x_f, True), _row_ring(x_f, False)],
-                            axis=1)  # (N, 2, W, C4)
+    if rings is None:
+        rings = jnp.concatenate([_row_ring(x_f, True),
+                                 _row_ring(x_f, False)],
+                                axis=1)  # (N, 2, W, C4)
+    rings = rings.astype(x_f.dtype)
     kernel = _make_kernel(block_rows, num_blocks, n, h, w, c4, alpha)
     return pl.pallas_call(
         kernel,

@@ -174,6 +174,38 @@ def test_serve_cli_spatial_mesh(trained, tmp_path):
         assert np.abs(ia.astype(int) - ib.astype(int)).max() <= 1, a.name
 
 
+def test_serve_cli_spatial_mesh_folded(tmp_path):
+    """Folded serving over a {data:1, spatial:2} mesh goes through the
+    shard_map fast path (per-shard Pallas kernels in interpret mode on
+    CPU, ppermute halo rows, psum'd AdaIN stats) and must match the
+    single-device folded outputs pixel-for-pixel."""
+    data = tmp_path / "data"
+    _make_data(data)
+    cfg = tmp_path / "spatial_folded.yaml"
+    # hidden 32 -> folded 128 channels: the Pallas-eligible lane width
+    _write_cfg(cfg, data, tmp_path / "out_sf", hidden_dim=32,
+               compute_dtype="float32")
+    single, spatial = tmp_path / "single_f", tmp_path / "spatial_f"
+    common = ["--config", str(cfg),
+              "--content", str(data / "content"),
+              "--style", str(data / "style" / "00.png"),
+              "--mode", "folded", "--batch", "1"]
+    r = _run("serve.py", *common, "--out", str(single))
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run("serve.py", *common, "--out", str(spatial),
+             "--mesh", "data=1,spatial=2",
+             env_extra={"XLA_FLAGS":
+                        "--xla_force_host_platform_device_count=2"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "shard_map folded stylize" in r.stderr + r.stdout
+    singles = sorted(single.glob("*.png"))
+    spatials = sorted(spatial.glob("*.png"))
+    assert [p.name for p in singles] == [p.name for p in spatials] != []
+    for a, b in zip(singles, spatials):
+        ia, ib = np.asarray(Image.open(a)), np.asarray(Image.open(b))
+        assert np.abs(ia.astype(int) - ib.astype(int)).max() <= 1, a.name
+
+
 @pytest.mark.parametrize("net,over", [
     ("adain", {"hidden_dim": 32, "rp_blocks": 5}),
     ("sanet", {}),
@@ -182,6 +214,7 @@ def test_serve_cli_spatial_mesh(trained, tmp_path):
              "n_clusters": 2}),
     ("spade", {"hidden_dim": 32, "rp_blocks": 5}),
     ("ld_adain", {"hidden_dim": 16, "rp_blocks": 5, "use_mask": False}),
+    ("ld_adain2", {"hidden_dim": 8, "rp_blocks": 5, "use_mask": False}),
 ])
 def test_serve_cli_q8(tmp_path, net, over):
     """--mode q8 through the CLI on the CPU backend (the serve driver

@@ -60,6 +60,30 @@ def main():
         # bf16 matmul accumulation reassociation: ~1e-1 on O(20) values
         check(f"fused_folded_conv bf16 b{bs} h{h}", got, ref, atol=0.25)
 
+    # rings override (the spatial shard_map halo path): custom boundary
+    # rows spliced in place of the reflect ring must equal the XLA conv
+    # over the halo-padded slab (models/fast_path_spatial.py)
+    from rpst.ops.folded import _pad_cols_ring
+
+    for bs, h in ((1, 64), (2, 32)):
+        x = jnp.asarray(rng.normal(size=(bs, h, 256, 4 * C))
+                        .astype(np.float32)).astype(jnp.bfloat16)
+        rings = jnp.asarray(rng.normal(size=(bs, 2, 256, 4 * C))
+                            .astype(np.float32)).astype(jnp.bfloat16)
+
+        def halo_ref(x, rings, kf, bf):
+            xp = jnp.concatenate([rings[:, :1], x, rings[:, 1:]], axis=1)
+            y = jax.lax.conv_general_dilated(
+                _pad_cols_ring(xp), kf, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bf
+            return jnp.where(y >= 0, y, 0.2 * y)
+
+        ref = jax.jit(halo_ref)(x, rings, kf, bf)
+        got = jax.jit(lambda x, r: fused_folded_conv(
+            x, kf, bf, rings=r))(x, rings)
+        check(f"fused_folded_conv rings-override b{bs} h{h}", got, ref,
+              atol=0.25)
+
     # folded-conv backward kernel pair vs XLA autodiff of the ring path
     from rpst.ops.pallas.folded_conv import folded_conv_lrelu
 
