@@ -203,18 +203,43 @@ def main():
     _run_impl = make_run_impl(bundle, cfg, mode, scales, vgg_vars,
                               q8_interpret=q8_interpret)
     if (mesh is not None and spatial_par > 1 and mode == "folded"
-            and bundle.network == "multi_adain"):
+            and bundle.network in ("multi_adain", "sel_multi_adain",
+                                   "ccam")):
         # one shard_map over the spatial axis: ppermute halo rows + psum'd
-        # AdaIN stats, per-shard Pallas kernels (Mosaic custom calls can't
-        # be SPMD-partitioned, but under shard_map they never need to be)
-        from rpst.models.fast_path_spatial import \
-            stylize_multi_adain_folded_spatial
+        # AdaIN stats / SE pools / CCAM energies, per-shard Pallas kernels
+        # (Mosaic custom calls can't be SPMD-partitioned, but under
+        # shard_map they never need to be)
+        from rpst.models import fast_path_spatial as fps
         _dtypef = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                    else jnp.float32)
-        _run_impl = lambda v, c, s: stylize_multi_adain_folded_spatial(
-            v["params"], c, s, mesh, dtype=_dtypef)
+        if bundle.network == "multi_adain":
+            _run_impl = lambda v, c, s: \
+                fps.stylize_multi_adain_folded_spatial(
+                    v["params"], c, s, mesh, dtype=_dtypef)
+        elif bundle.network == "sel_multi_adain":
+            _run_impl = lambda v, c, s: \
+                fps.stylize_sel_multi_adain_folded_spatial(
+                    v, c, s, mesh, dtype=_dtypef)
+        else:
+            _run_impl = lambda v, c, s: fps.stylize_ccam_folded_spatial(
+                v, c, s, mesh, stylized_layers=cfg.stylized_layers,
+                dtype=_dtypef)
         logger.info("spatial mesh: shard_map folded stylize (halo "
                     "exchange + per-shard fused kernels)")
+    elif (mesh is not None and spatial_par > 1 and mode == "standard"
+            and bundle.network in ("sanet", "dynamic_sanet")):
+        # shard_map SANet: halo VGG encode, per-shard flash attention on
+        # local query rows vs all-gathered style keys/values (the Pallas
+        # attention kernel GSPMD cannot partition), halo mirror decode
+        from rpst.models.fast_path_spatial import stylize_sanet_spatial
+        _dtypef = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                   else jnp.float32)
+        _adaptive = bundle.network == "dynamic_sanet"
+        _run_impl = lambda v, c, s: stylize_sanet_spatial(
+            v, vgg_vars, c, s, mesh, adaptive=_adaptive,
+            ada_module=cfg.ada_module, dtype=_dtypef)
+        logger.info("spatial mesh: shard_map sanet stylize (halo VGG "
+                    "encode + per-shard flash attention)")
 
     def _run_u8(variables, content, style):
         """uint8 transfer boundary: images cross host<->device as uint8

@@ -1,9 +1,9 @@
 """Spatially sharded folded serving — sequence parallelism for images.
 
-``stylize_multi_adain_folded_spatial`` runs the flagship folded stylize
-(models/fast_path.py) inside ONE ``jax.shard_map`` over a mesh's
-``spatial`` axis (image rows), with every cross-shard dependency an
-explicit ICI collective:
+``stylize_multi_adain_folded_spatial`` (and the sel_multi_adain / ccam
+variants below) runs the folded stylize (models/fast_path.py) inside ONE
+``jax.shard_map`` over a mesh's ``spatial`` axis (image rows), with every
+cross-shard dependency an explicit ICI collective:
 
   * **halo exchange**: each stride-1 folded conv needs one folded row from
     each neighbor shard; ``ppermute`` ships shard edges up/down, and the
@@ -110,6 +110,25 @@ def _folded_adain_spatial(content_f, style_f, axis: str, n_shards: int,
     return (content_f - cm) / cs * ss + sm
 
 
+def _run_spatial(mesh: Mesh, shard_fn, variables, content, style):
+    """Common shard_map launch: `{data?, spatial}` specs, height check.
+
+    check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    annotation, and the collectives here are hand-placed anyway."""
+    axis = "spatial"
+    assert axis in mesh.axis_names, mesh
+    n_shards = mesh.shape[axis]
+    assert content.shape[1] % (2 * n_shards) == 0, (
+        f"image height {content.shape[1]} must divide into 2*{n_shards} "
+        "folded shard rows")
+    img_spec = (P("data", axis) if "data" in mesh.axis_names
+                else P(None, axis))
+    return jax.shard_map(shard_fn, mesh=mesh,
+                         in_specs=(P(), img_spec, img_spec),
+                         out_specs=img_spec,
+                         check_vma=False)(variables, content, style)
+
+
 def stylize_multi_adain_folded_spatial(params, content, style, mesh: Mesh,
                                        dtype=jnp.bfloat16,
                                        interpret: bool | None = None):
@@ -124,21 +143,16 @@ def stylize_multi_adain_folded_spatial(params, content, style, mesh: Mesh,
     TPU (the CPU test mesh)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    axis = "spatial"
-    assert axis in mesh.axis_names, mesh
-    n_shards = mesh.shape[axis]
-    assert content.shape[1] % (2 * n_shards) == 0, (
-        f"image height {content.shape[1]} must divide into 2*{n_shards} "
-        "folded shard rows")
-    img_spec = (P("data", axis) if "data" in mesh.axis_names
-                else P(None, axis))
+    n_shards = mesh.shape["spatial"]
 
     def shard_fn(params, c_l, s_l):
         enc = _folded_blocks(params["rp_shared_encoder"])
         dec = _folded_blocks(params["rp_decoder"])
         conv = lambda x, k, b: _conv_lrelu_halo(
-            x, k.astype(dtype), b.astype(dtype), axis, n_shards, interpret)
-        adain = partial(_folded_adain_spatial, axis=axis, n_shards=n_shards)
+            x, k.astype(dtype), b.astype(dtype), "spatial", n_shards,
+            interpret)
+        adain = partial(_folded_adain_spatial, axis="spatial",
+                        n_shards=n_shards)
 
         def encode(img):
             x = fold(img.astype(dtype))
@@ -160,9 +174,398 @@ def stylize_multi_adain_folded_spatial(params, content, style, mesh: Mesh,
             stylized = conv(stylized + fusion, k, b)
         return unfold(stylized).astype(c_l.dtype)
 
-    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
-    # annotation, and the collectives here are hand-placed anyway
+    return _run_spatial(mesh, shard_fn, params, content, style)
+
+
+def _zero_conv_halo(x_l, k, axis: str, n_shards: int):
+    """``ops.folded.folded_zero_conv`` (3x3, 1-px original ZERO padding)
+    on an H-shard: interior halo rows via ppermute, zero rows at the
+    global top/bottom (an original zero ring folds to an all-zero folded
+    ring).  Used by the SE bottleneck's middle conv — one layer at the
+    deepest scale, so the halo-padded XLA path is fine."""
+    zero = jnp.zeros_like(x_l[:, :1])
+    if n_shards == 1:
+        above = below = zero
+    else:
+        idx = jax.lax.axis_index(axis)
+        down = [(s, s + 1) for s in range(n_shards - 1)]
+        up = [(s + 1, s) for s in range(n_shards - 1)]
+        above = jnp.where(idx == 0, zero, jax.lax.ppermute(
+            x_l[:, -1:], axis, down))
+        below = jnp.where(idx == n_shards - 1, zero, jax.lax.ppermute(
+            x_l[:, :1], axis, up))
+    xp = jnp.concatenate([above, x_l, below], axis=1)
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    return jax.lax.conv_general_dilated(
+        xp, k, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _channel_pool_spatial(x_f, axis: str, n_shards: int):
+    """``ops.folded.folded_channel_pool`` with the mean psum'd over the
+    spatial axis: (N, Hf, Wf, 4C) -> (N, C) global average."""
+    n, hh, ww, c4 = x_f.shape
+    c = c4 // 4
+    s = jnp.sum(x_f.astype(jnp.float32).reshape(n, hh * ww, 4, c),
+                axis=(1, 2))
+    if n_shards > 1:
+        s = jax.lax.psum(s, axis)
+    return s / (hh * ww * 4 * n_shards)
+
+
+def _se_bottleneck_spatial(x_f, params, stats, dtype, axis: str,
+                           n_shards: int):
+    """``fast_path._folded_se_bottleneck`` (eval mode) on an H-shard:
+    the 1x1 convs and BatchNorm affines are row-local, the 3x3 zero conv
+    exchanges halo rows, and the SE global pool psums."""
+    from ..ops.folded import (fold_conv1x1_kernel, fold_conv_kernel,
+                              folded_channel_affine, folded_zero_conv)
+    from .fast_path import _folded_bn_affine
+
+    f32 = jnp.float32
+    residual = x_f
+    k1 = fold_conv1x1_kernel(params["conv1"]["kernel"]).astype(dtype)
+    s, b = _folded_bn_affine(params["bn1"], stats["bn1"])
+    out = jax.nn.relu(folded_channel_affine(
+        folded_zero_conv(x_f, k1), s.astype(dtype), b.astype(dtype)))
+    k2 = fold_conv_kernel(params["conv2"]["kernel"]).astype(dtype)
+    s, b = _folded_bn_affine(params["bn2"], stats["bn2"])
+    out = jax.nn.relu(folded_channel_affine(
+        _zero_conv_halo(out, k2, axis, n_shards),
+        s.astype(dtype), b.astype(dtype)))
+    k3 = fold_conv1x1_kernel(params["conv3"]["kernel"]).astype(dtype)
+    s, b = _folded_bn_affine(params["bn3"], stats["bn3"])
+    out = folded_channel_affine(folded_zero_conv(out, k3),
+                                s.astype(dtype), b.astype(dtype))
+    se = params["SELayer_0"]
+    y = _channel_pool_spatial(out, axis, n_shards)
+    y = jax.nn.relu(y @ se["Dense_0"]["kernel"].astype(f32))
+    y = jax.nn.sigmoid(y @ se["Dense_1"]["kernel"].astype(f32))
+    out = folded_channel_affine(out, y.astype(dtype))
+    return jax.nn.relu(out + residual)
+
+
+def stylize_sel_multi_adain_folded_spatial(variables, content, style,
+                                           mesh: Mesh, dtype=jnp.bfloat16,
+                                           interpret: bool | None = None):
+    """``fast_path.stylize_sel_multi_adain_folded`` (SELastRP eval,
+    reference adain_rp.py:451-481) over a ``{data?, spatial}`` mesh."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_shards = mesh.shape["spatial"]
+
+    def shard_fn(variables, c_l, s_l):
+        params = variables["params"]
+        stats = variables.get("batch_stats", {}).get("attention_block",
+                                                     None)
+        enc = _folded_blocks(params["ms"]["rp_shared_encoder"])
+        dec = _folded_blocks(params["ms"]["rp_decoder"])
+        conv = lambda x, k, b: _conv_lrelu_halo(
+            x, k.astype(dtype), b.astype(dtype), "spatial", n_shards,
+            interpret)
+        adain = partial(_folded_adain_spatial, axis="spatial",
+                        n_shards=n_shards)
+
+        def encode(img):
+            x = fold(img.astype(dtype))
+            feats = []
+            for k, b in enc:
+                x = conv(x, k, b)
+                feats.append(x)
+            return feats
+
+        c_feats = encode(c_l)
+        s_feats = encode(s_l)
+        stylized = adain(c_feats[-1], s_feats[-1])
+        k, b = dec[0]
+        stylized = conv(stylized, k, b)
+        pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+        for i, (_, sf) in enumerate(pairs):
+            stylized = adain(stylized, sf)
+            if i == len(pairs) - 1:
+                stylized = _se_bottleneck_spatial(
+                    stylized, params["attention_block"], stats, dtype,
+                    "spatial", n_shards)
+            k, b = dec[i + 1]
+            stylized = conv(stylized, k, b)
+        return unfold(stylized).astype(c_l.dtype)
+
+    return _run_spatial(mesh, shard_fn, variables, content, style)
+
+
+def _ccam_spatial(x_f, y_f, scale, axis: str, n_shards: int):
+    """``fast_path._folded_ccam`` on an H-shard: the (4C, 4C) folded
+    cross-product energy is a sum over pixels, so the local partial
+    psums; softmax and the kron(I4, att) recombination are then
+    row-local (reference adain_rp.py:348-385 semantics, inputs
+    detached)."""
+    x_f = jax.lax.stop_gradient(x_f)
+    y_f = jax.lax.stop_gradient(y_f)
+    n, hh, ww, c4 = x_f.shape
+    c = c4 // 4
+    xr = x_f.reshape(n, hh * ww, c4)
+    yr = y_f.reshape(n, hh * ww, c4)
+    e4 = jnp.einsum("npa,npb->nab", xr, yr,
+                    preferred_element_type=jnp.float32)
+    if n_shards > 1:
+        e4 = jax.lax.psum(e4, axis)
+    blocks = e4.reshape(n, 4, c, 4, c)
+    energy = (blocks[:, 0, :, 0] + blocks[:, 1, :, 1]
+              + blocks[:, 2, :, 2] + blocks[:, 3, :, 3])
+    energy_new = jnp.max(energy, axis=-1, keepdims=True) - energy
+    attention = jax.nn.softmax(energy_new, axis=-1)
+    att4 = jnp.einsum("st,nck->nsctk", jnp.eye(4, dtype=attention.dtype),
+                      attention).reshape(n, c4, c4)
+    out = jnp.einsum("npk,nck->npc", yr, att4.astype(yr.dtype))
+    return x_f + scale * out.reshape(n, hh, ww, c4)
+
+
+def stylize_ccam_folded_spatial(variables, content, style, mesh: Mesh,
+                                stylized_layers: int = 5,
+                                dtype=jnp.bfloat16,
+                                interpret: bool | None = None):
+    """``fast_path.stylize_ccam_folded`` (CCAMRP eval, reference
+    adain_rp.py:348-422) over a ``{data?, spatial}`` mesh: per-scale
+    AdaIN + cross-channel-attention residual, energies psum'd."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_shards = mesh.shape["spatial"]
+
+    def shard_fn(variables, c_l, s_l):
+        params = variables["params"]
+        enc = _folded_blocks(params["ms"]["rp_shared_encoder"])
+        dec = _folded_blocks(params["ms"]["rp_decoder"])
+        conv = lambda x, k, b: _conv_lrelu_halo(
+            x, k.astype(dtype), b.astype(dtype), "spatial", n_shards,
+            interpret)
+        adain = partial(_folded_adain_spatial, axis="spatial",
+                        n_shards=n_shards)
+        ccam = partial(_ccam_spatial, axis="spatial", n_shards=n_shards)
+        scale = lambda i: params[f"ccam_{i}"]["scale"].astype(dtype)
+
+        def encode(img):
+            x = fold(img.astype(dtype))
+            feats = []
+            for k, b in enc:
+                x = conv(x, k, b)
+                feats.append(x)
+            return feats
+
+        c_feats = encode(c_l)
+        s_feats = encode(s_l)
+        stylized = adain(c_feats[-1], s_feats[-1])
+        att_res = ccam(c_feats[-1], s_feats[-1], scale(0))
+        k, b = dec[0]
+        stylized = conv(stylized + att_res, k, b)
+        pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+        for i, (_, sf) in enumerate(pairs):
+            k, b = dec[i + 1]
+            if i + 1 < stylized_layers:
+                stylized = adain(stylized, sf)
+                att_res = ccam(stylized, sf, scale(i + 1))
+                stylized = conv(stylized + att_res, k, b)
+            else:
+                stylized = conv(stylized, k, b)
+        return unfold(stylized).astype(c_l.dtype)
+
+    return _run_spatial(mesh, shard_fn, variables, content, style)
+
+
+# ---------------------------------------------------------------------------
+# SANet / AdaptiveSANet spatial serving (standard layout, bf16)
+# ---------------------------------------------------------------------------
+
+def _reflect_conv_halo_std(x_l, k, b, axis: str, n_shards: int,
+                           act: bool = True):
+    """Standard-layout reflect 3x3 conv (+ optional relu) on an H-shard.
+
+    Interior halo rows arrive from the neighbor shard over ICI; the
+    global top/bottom shards reflect locally (1-px reflection of the
+    global row 0 is global row 1, which lives in the same shard).
+    1x1 kernels are row-local and skip the exchange."""
+    if k.shape[0] == 1:
+        y = jax.lax.conv_general_dilated(
+            x_l, k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        return jax.nn.relu(y) if act else y
+    refl_top = x_l[:, 1:2]
+    refl_bot = x_l[:, -2:-1]
+    if n_shards == 1:
+        above, below = refl_top, refl_bot
+    else:
+        idx = jax.lax.axis_index(axis)
+        down = [(s, s + 1) for s in range(n_shards - 1)]
+        up = [(s + 1, s) for s in range(n_shards - 1)]
+        above = jnp.where(idx == 0, refl_top,
+                          jax.lax.ppermute(x_l[:, -1:], axis, down))
+        below = jnp.where(idx == n_shards - 1, refl_bot,
+                          jax.lax.ppermute(x_l[:, :1], axis, up))
+    xp = jnp.concatenate([above, x_l, below], axis=1)
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
+    y = jax.lax.conv_general_dilated(
+        xp, k, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    return jax.nn.relu(y) if act else y
+
+
+def _mvn_spatial(x, axis: str, n_shards: int, eps: float = 1e-5):
+    """``ops.stats.mean_variance_norm`` (unbiased variance over global
+    H*W, reference sanet.py:20-24) with the sums psum'd."""
+    n, hh, ww, c = x.shape
+    m = hh * ww * n_shards
+    v = x.astype(jnp.float32)
+    s1 = jnp.sum(v, axis=(1, 2), keepdims=True)
+    s2 = jnp.sum(v * v, axis=(1, 2), keepdims=True)
+    if n_shards > 1:
+        s1 = jax.lax.psum(s1, axis)
+        s2 = jax.lax.psum(s2, axis)
+    mean = s1 / m
+    var = (s2 - m * mean * mean) / max(m - 1, 1)
+    std = jnp.sqrt(jnp.maximum(var, 0.0) + eps)
+    return ((v - mean) / std).astype(x.dtype)
+
+
+def _conv1x1_p(p, x, dtype):
+    return (jax.lax.conv_general_dilated(
+        x.astype(dtype), p["kernel"].astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        + p["bias"].astype(dtype))
+
+
+def _sanet_attention_spatial(p, content_l, style_full, dtype, axis: str,
+                             n_shards: int, interpret: bool,
+                             adaptive: bool = False,
+                             ada_module: str = "aea"):
+    """``models.sanet.SANetAttention`` / ``AdaptiveSANetAttention``
+    (reference sanet.py:73-138) with content query rows local and the
+    style side replicated (pre-all-gathered): the attention is
+    row-parallel over queries, so each shard runs the flash kernel on
+    its own query block against the full style keys/values.  The
+    adaptive threshold uses the factorized psi0/psi1 route
+    (ops/adaptive_attention) — per-query, hence shard-local."""
+    from ..ops.adaptive_attention import adaptive_reweighted_attention
+    from ..ops.pallas.flash_attention import sanet_attention
+    from ..ops.stats import mean_variance_norm
+
+    F = _conv1x1_p(p["f"], _mvn_spatial(content_l, axis, n_shards), dtype)
+    G = _conv1x1_p(p["g"], mean_variance_norm(style_full), dtype)
+    H = _conv1x1_p(p["h"], style_full.astype(dtype), dtype)
+    n, hc, wc, c = F.shape
+    _, hs, ws, _ = G.shape
+    Fm = F.reshape(n, hc * wc, c)
+    Gm = G.reshape(n, hs * ws, c)
+    Hm = H.reshape(n, hs * ws, c)
+    if adaptive:
+        cf = content_l.reshape(n, hc * wc, -1).astype(jnp.float32)
+        sf = style_full.reshape(n, hs * ws, -1).astype(jnp.float32)
+        cn = cf / jnp.maximum(
+            jnp.linalg.norm(cf, axis=2, keepdims=True), 1e-12)
+        sn = sf / jnp.maximum(
+            jnp.linalg.norm(sf, axis=2, keepdims=True), 1e-12)
+        aea = p["aea"]
+        w0 = aea["psi0"]["kernel"].astype(jnp.float32)
+        b0 = aea["psi0"]["bias"].astype(jnp.float32)
+        m = jnp.einsum("nqc,qk->nck", sn, w0)
+        h = jax.nn.leaky_relu(
+            jnp.einsum("npc,nck->npk", cn, m) + b0, 0.2)
+        z = (h @ aea["psi1"]["kernel"].astype(jnp.float32)
+             + aea["psi1"]["bias"].astype(jnp.float32))
+        if ada_module == "aea":
+            clamp = jax.nn.sigmoid(z) * 0.5 + 0.4
+            variant, scale = "aea", 50.0
+        else:
+            clamp = (jnp.tanh(z) + 1.0) / 2.0
+            variant, scale = "aea_lrelu", 50.0
+        O = adaptive_reweighted_attention(Fm, Gm, Hm,
+                                          clamp.astype(Fm.dtype),
+                                          variant=variant,
+                                          scale_value=scale)
+    else:
+        O = sanet_attention(Fm, Gm, Hm, interpret=interpret)
+    O = O.reshape(n, hc, wc, c)
+    return _conv1x1_p(p["out_conv"], O, dtype) + content_l.astype(dtype)
+
+
+def stylize_sanet_spatial(variables, vgg_vars, content, style, mesh: Mesh,
+                          adaptive: bool = False, ada_module: str = "aea",
+                          dtype=jnp.bfloat16,
+                          interpret: bool | None = None):
+    """SANet / AdaptiveSANet serving over a ``{data?, spatial}`` mesh
+    (reference sanet.py:196-275 / 278-423 semantics): 5-stage VGG encode
+    of both images with halo-exchanged reflect convs and row-local ceil
+    pools, per-shard flash attention on local query rows against
+    all-gathered style keys/values, halo merge conv, and the VGG-mirror
+    decoder with row-local nearest upsamples.
+
+    Image rows stay sharded end to end; the only whole-feature
+    collectives are the two style-tap all-gathers (relu4_1 + relu5_1 —
+    ~5 MB bf16 per image at 512px) and the psum'd instance statistics.
+    This extends spatial serving to the attention families, whose Pallas
+    flash kernel GSPMD cannot partition (under shard_map it runs
+    per-shard and never needs a partitioning rule)."""
+    from .fast_path_q8 import (_MIRROR_PROGRAM, _maxpool2x_any,
+                               _upsample2x_any, _vgg_q8_layers)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    axis = "spatial"
+    assert axis in mesh.axis_names, mesh
+    n_shards = mesh.shape[axis]
+    assert content.shape[1] % (32 * n_shards) == 0, (
+        f"image height {content.shape[1]} must divide into 32*{n_shards} "
+        "rows (4 VGG pools per shard, >= 2 relu5_1 rows per shard for "
+        "the boundary reflection)")
+    img_spec = (P("data", axis) if "data" in mesh.axis_names
+                else P(None, axis))
+
+    def shard_fn(variables, vgg_params, c_l, s_l):
+        convs, program, tap_idx = _vgg_q8_layers(vgg_params, 5)
+        n = c_l.shape[0]
+
+        def encode(x):
+            x = x.astype(dtype)
+            taps = []
+            for li, (k, b) in enumerate(convs):
+                pre, act = program[li]
+                if pre == "pool":
+                    x = _maxpool2x_any(x)
+                x = _reflect_conv_halo_std(x, k.astype(dtype),
+                                           b.astype(dtype), axis,
+                                           n_shards, act=act)
+                if li in tap_idx:
+                    taps.append(x)
+            return taps
+
+        # one 2N encode (no batch-coupled ops in VGG)
+        taps = encode(jnp.concatenate([c_l, s_l], axis=0))
+        c4, s4 = taps[3][:n], taps[3][n:]
+        c5, s5 = taps[4][:n], taps[4][n:]
+        if n_shards > 1:
+            s4 = jax.lax.all_gather(s4, axis, axis=1, tiled=True)
+            s5 = jax.lax.all_gather(s5, axis, axis=1, tiled=True)
+        tp = variables["params"]["transform"]
+        att = partial(_sanet_attention_spatial, dtype=dtype, axis=axis,
+                      n_shards=n_shards, interpret=interpret,
+                      adaptive=adaptive, ada_module=ada_module)
+        a4 = att(tp["sanet4_1"], c4, s4)
+        a5 = att(tp["sanet5_1"], c5, s5)
+        merged = a4 + _upsample2x_any(a5)
+        x = _reflect_conv_halo_std(
+            merged, tp["merge_conv"]["Conv_0"]["kernel"].astype(dtype),
+            tp["merge_conv"]["Conv_0"]["bias"].astype(dtype), axis,
+            n_shards, act=False)
+        dec = variables["params"]["decoder"]
+        for li in range(9):
+            pre, act = _MIRROR_PROGRAM[li]
+            if pre == "up":
+                x = _upsample2x_any(x)
+            k = dec[f"conv{li}"]["Conv_0"]["kernel"].astype(dtype)
+            b = dec[f"conv{li}"]["Conv_0"]["bias"].astype(dtype)
+            x = _reflect_conv_halo_std(x, k, b, axis, n_shards, act=act)
+        return x.astype(c_l.dtype)
+
     return jax.shard_map(shard_fn, mesh=mesh,
-                         in_specs=(P(), img_spec, img_spec),
+                         in_specs=(P(), P(), img_spec, img_spec),
                          out_specs=img_spec,
-                         check_vma=False)(params, content, style)
+                         check_vma=False)(variables, vgg_vars["params"],
+                                          content, style)

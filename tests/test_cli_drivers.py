@@ -174,16 +174,18 @@ def test_serve_cli_spatial_mesh(trained, tmp_path):
         assert np.abs(ia.astype(int) - ib.astype(int)).max() <= 1, a.name
 
 
-def test_serve_cli_spatial_mesh_folded(tmp_path):
+@pytest.mark.parametrize("net", ["multi_adain", "sel_multi_adain", "ccam"])
+def test_serve_cli_spatial_mesh_folded(tmp_path, net):
     """Folded serving over a {data:1, spatial:2} mesh goes through the
     shard_map fast path (per-shard Pallas kernels in interpret mode on
-    CPU, ppermute halo rows, psum'd AdaIN stats) and must match the
-    single-device folded outputs pixel-for-pixel."""
+    CPU, ppermute halo rows, psum'd AdaIN stats / SE pools / CCAM
+    energies) and must match the single-device folded outputs
+    pixel-for-pixel."""
     data = tmp_path / "data"
     _make_data(data)
     cfg = tmp_path / "spatial_folded.yaml"
     # hidden 32 -> folded 128 channels: the Pallas-eligible lane width
-    _write_cfg(cfg, data, tmp_path / "out_sf", hidden_dim=32,
+    _write_cfg(cfg, data, tmp_path / "out_sf", hidden_dim=32, network=net,
                compute_dtype="float32")
     single, spatial = tmp_path / "single_f", tmp_path / "spatial_f"
     common = ["--config", str(cfg),
@@ -198,6 +200,37 @@ def test_serve_cli_spatial_mesh_folded(tmp_path):
                         "--xla_force_host_platform_device_count=2"})
     assert r.returncode == 0, r.stderr[-2000:]
     assert "shard_map folded stylize" in r.stderr + r.stdout
+    singles = sorted(single.glob("*.png"))
+    spatials = sorted(spatial.glob("*.png"))
+    assert [p.name for p in singles] == [p.name for p in spatials] != []
+    for a, b in zip(singles, spatials):
+        ia, ib = np.asarray(Image.open(a)), np.asarray(Image.open(b))
+        assert np.abs(ia.astype(int) - ib.astype(int)).max() <= 1, a.name
+
+
+def test_serve_cli_spatial_mesh_sanet(tmp_path):
+    """Standard-mode SANet serving over a {data:1, spatial:2} mesh goes
+    through the shard_map path (halo VGG encode, per-shard flash
+    attention in interpret mode on CPU vs all-gathered style K/V) and
+    must match the single-device outputs pixel-for-pixel."""
+    data = tmp_path / "data"
+    _make_data(data, size=64)
+    cfg = tmp_path / "spatial_sanet.yaml"
+    _write_cfg(cfg, data, tmp_path / "out_ss", network="sanet",
+               img_size=64, compute_dtype="float32")
+    single, spatial = tmp_path / "single_s", tmp_path / "spatial_s"
+    common = ["--config", str(cfg),
+              "--content", str(data / "content"),
+              "--style", str(data / "style" / "00.png"),
+              "--mode", "standard", "--batch", "1"]
+    r = _run("serve.py", *common, "--out", str(single))
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run("serve.py", *common, "--out", str(spatial),
+             "--mesh", "data=1,spatial=2",
+             env_extra={"XLA_FLAGS":
+                        "--xla_force_host_platform_device_count=2"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "shard_map sanet stylize" in r.stderr + r.stdout
     singles = sorted(single.glob("*.png"))
     spatials = sorted(spatial.glob("*.png"))
     assert [p.name for p in singles] == [p.name for p in spatials] != []

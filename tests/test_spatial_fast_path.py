@@ -81,3 +81,95 @@ def test_spatial_stylize_narrow_stack_xla_path():
             p, c, s, mesh, dtype=jnp.float32, interpret=True))(
         params, content, style))
     np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-5)
+
+
+def test_spatial_sel_matches_single_device(rng):
+    """SELastRP spatial path (halo convs + zero-halo SE bottleneck conv +
+    psum'd SE pool) equals the single-device folded stylize."""
+    from rpst.models.fast_path import stylize_sel_multi_adain_folded
+    from rpst.models.fast_path_spatial import (
+        stylize_sel_multi_adain_folded_spatial)
+    from rpst.nn.vgg import init_vgg_params
+
+    cfg = load_config(dict(network="sel_multi_adain",
+                           enc_stack_way="constant",
+                           rp_blocks=4, hidden_dim=32, img_size=32))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+
+    ref = np.asarray(stylize_sel_multi_adain_folded(
+        variables, content, style, dtype=jnp.float32, use_pallas=False))
+    mesh = make_mesh({"spatial": 4}, jax.devices()[:4])
+    got = np.asarray(jax.jit(
+        lambda v, c, s: stylize_sel_multi_adain_folded_spatial(
+            v, c, s, mesh, dtype=jnp.float32, interpret=True))(
+        variables, content, style))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-5)
+
+
+def test_spatial_ccam_matches_single_device(rng):
+    """CCAMRP spatial path (psum'd cross-channel energies) equals the
+    single-device folded stylize."""
+    from rpst.models.fast_path import stylize_ccam_folded
+    from rpst.models.fast_path_spatial import stylize_ccam_folded_spatial
+    from rpst.nn.vgg import init_vgg_params
+
+    cfg = load_config(dict(network="ccam", enc_stack_way="constant",
+                           rp_blocks=4, hidden_dim=32, img_size=32,
+                           stylized_layers=4))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+    variables = jax.tree.map(lambda x: x, variables)
+    for i in range(4):
+        if f"ccam_{i}" in variables["params"]:
+            variables["params"][f"ccam_{i}"]["scale"] = jnp.full((1,), 0.4)
+
+    ref = np.asarray(stylize_ccam_folded(
+        variables, content, style, stylized_layers=4, dtype=jnp.float32,
+        use_pallas=False))
+    mesh = make_mesh({"spatial": 2}, jax.devices()[:2])
+    got = np.asarray(jax.jit(
+        lambda v, c, s: stylize_ccam_folded_spatial(
+            v, c, s, mesh, stylized_layers=4, dtype=jnp.float32,
+            interpret=True))(variables, content, style))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("adaptive,ada_module", [
+    (False, "aea"), (True, "aea"), (True, "relu")])
+def test_spatial_sanet_matches_single_device(rng, adaptive, ada_module):
+    """SANet spatial path (halo VGG encode, all-gathered style K/V,
+    per-shard flash attention, halo mirror decode) matches the standard
+    single-device stylize.  The adaptive route streams with the
+    factorized thresholds (equality vs dense pinned separately in
+    test_adaptive_blockwise at <=1e-3)."""
+    from rpst.models.fast_path_spatial import stylize_sanet_spatial
+    from rpst.nn.vgg import init_vgg_params
+
+    net = "dynamic_sanet" if adaptive else "sanet"
+    cfg = load_config(dict(network=net, img_size=64,
+                           ada_module=ada_module))
+    bundle = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    content = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    _, vgg_vars = init_vgg_params(key, num_stages=5)
+    variables = bundle.init(key, content, style, vgg_vars)
+
+    ref = np.asarray(bundle.stylize(variables, vgg_vars, content, style))
+    mesh = make_mesh({"spatial": 2}, jax.devices()[:2])
+    got = np.asarray(jax.jit(
+        lambda v, g, c, s: stylize_sanet_spatial(
+            v, g, c, s, mesh, adaptive=adaptive, ada_module=ada_module,
+            dtype=jnp.float32, interpret=True))(
+        variables, vgg_vars, content, style))
+    tol = 2e-3 if adaptive else 2e-4
+    np.testing.assert_allclose(got, ref, atol=tol, rtol=1e-4)
