@@ -391,18 +391,20 @@ def _require_responsive_backend(timeout_s: int = 180):
 def main():
     _require_responsive_backend()
     if "--hires" in sys.argv:
-        # 1024px (4x the reference's pixel count) through the fast paths
-        bundle = build("bfloat16", img=1024)
-        for mode in ("q8", "folded"):
-            for batch in (1, 2):
-                try:
-                    ips, med = bench_stylize(bundle, batch, iters=10,
-                                             mode=mode, img=1024)
-                    log(f"[hires] 1024px {mode} batch={batch}: "
-                        f"{ips:.1f} img/s ({med*1e3:.1f} ms/pass)")
-                except Exception as e:
-                    log(f"[hires] {mode} b{batch}: {type(e).__name__}: "
-                        f"{str(e)[:120]}")
+        # 1024/2048px (4x/16x the reference's pixel count) through the
+        # fast paths — the production high-res serving claim on one chip
+        for img in (1024, 2048):
+            bundle = build("bfloat16", img=img)
+            for mode in ("q8", "folded"):
+                for batch in ((1, 2) if img == 1024 else (1,)):
+                    try:
+                        ips, med = bench_stylize(bundle, batch, iters=10,
+                                                 mode=mode, img=img)
+                        log(f"[hires] {img}px {mode} batch={batch}: "
+                            f"{ips:.1f} img/s ({med*1e3:.1f} ms/pass)")
+                    except Exception as e:
+                        log(f"[hires] {img}px {mode} b{batch}: "
+                            f"{type(e).__name__}: {str(e)[:120]}")
         return
     if "--train" in sys.argv:
         for strat in ("folded", "standard"):
