@@ -22,8 +22,15 @@ standard automatically.
 ``--mesh N`` serves data-parallel over the first N devices (batch sharded
 on a ``data`` axis; params replicated); ``--mesh data=2,spatial=2`` adds
 image-ROW sharding so a single high-resolution request spans several
-chips (XLA derives the stride-1 conv halo exchanges from the sharding
-annotations — same machinery as training's spatial axis, dist/mesh.py).
+chips.  multi_adain / sel_multi_adain / ccam (folded) and sanet /
+dynamic_sanet (standard) route through hand-placed shard_map paths with
+per-shard Pallas kernels (models/fast_path_spatial.py — ppermute halos,
+psum'd statistics, all-gathered style keys for attention); other
+families take XLA's GSPMD partitioning of the standard program (the
+stride-1 conv halo exchanges derive from the sharding annotations —
+same machinery as training's spatial axis, dist/mesh.py).  mst's
+graph-cut host callback cannot shard spatially — serve it with a
+data-only mesh.
 Host IO (decode + PNG encode) overlaps device compute via async dispatch:
 batch t+1 is decoded and dispatched before batch t's outputs are fetched.
 
@@ -178,6 +185,9 @@ def main():
         if spatial_par > 1:
             assert cfg.img_size % spatial_par == 0, \
                 "img_size must divide by the spatial axis"
+            assert bundle.network != "mst", (
+                "mst's graph-cut host callback cannot shard spatially; "
+                "use a data-only mesh (--mesh N)")
         mesh = make_mesh(mesh_shape, devices)
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
         vgg_vars = jax.device_put(vgg_vars, NamedSharding(mesh, P()))

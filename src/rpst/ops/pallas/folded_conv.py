@@ -135,9 +135,14 @@ def _shrink_block_rows(h, w, c4, c4o, isz, block_rows, out_isz=None,
     """Largest block_rows dividing h whose working set fits scoped VMEM.
 
     ``min_rows`` floors the VMEM-driven shrink (divisibility still shrinks
-    below it): the folded kernels keep the historical floor of 8, while
-    wide-channel standard-layout callers (512 lanes at 512 width) pass 1 —
-    at those sizes even 4-row blocks exceed the 16 MB scoped limit.
+    below it).  The bf16 folded kernels and the wide-channel
+    standard-layout callers pass 1 — at 2048px (folded W=1024) or 512
+    lanes at 512 width even 4-8 row blocks exceed the 16 MB scoped limit,
+    and a floored block that doesn't fit fails Mosaic compilation
+    outright (observed 2026-08-19: bf16 folded conv at (1, 512, 1024,
+    128)).  The int8 folded kernel keeps the historical floor of 8: its
+    estimate is marginally pessimistic there (w=1024 estimates 11.8 MB
+    yet compiles and runs at BR=8).
     ``extra_slabs`` budgets additional slab-sized values (e.g. the wide-K
     int8 kernel's lane-stacked x3 operand = 3 slabs)."""
     out_isz = isz if out_isz is None else out_isz
@@ -333,7 +338,7 @@ def fused_folded_conv_grad_input(gz: jnp.ndarray, khat: jnp.ndarray,
     n, h, w, c4o = gz.shape
     c4 = khat.shape[-1]
     block_rows = _shrink_block_rows(h, w, c4o, c4, gz.dtype.itemsize,
-                                    block_rows)
+                                    block_rows, min_rows=1)
     num_blocks = h // block_rows
     kernel = _make_bwd_input_kernel(block_rows, num_blocks, n, h, w, c4)
     return pl.pallas_call(
@@ -453,7 +458,7 @@ def fused_folded_conv_grad_weight(x_f: jnp.ndarray, gz: jnp.ndarray,
     n, h, w, c4 = x_f.shape
     c4o = gz.shape[-1]
     block_rows = _shrink_block_rows(h, w, c4, c4o, x_f.dtype.itemsize,
-                                    block_rows)
+                                    block_rows, min_rows=1)
     num_blocks = h // block_rows
     rings = jnp.concatenate([_row_ring(x_f, True), _row_ring(x_f, False)],
                             axis=1)
@@ -554,7 +559,7 @@ def fused_folded_conv(x_f: jnp.ndarray, folded_kernel: jnp.ndarray,
     n, h, w, c4 = x_f.shape
     c4o = folded_kernel.shape[-1]
     block_rows = _shrink_block_rows(h, w, c4, c4o, x_f.dtype.itemsize,
-                                    block_rows)
+                                    block_rows, min_rows=1)
     num_blocks = h // block_rows
 
     if rings is None:

@@ -52,13 +52,14 @@ def main():
         y = folded_conv(x, kf, bf)
         return jnp.where(y >= 0, y, 0.2 * y)
 
-    for bs, h in ((1, 256), (2, 64), (1, 32)):
-        x = jnp.asarray(rng.normal(size=(bs, h, 256, 4 * C))
+    for bs, h, w in ((1, 256, 256), (2, 64, 256), (1, 32, 256),
+                     (1, 64, 1024)):  # w=1024 = 2048px: VMEM-driven BR=2
+        x = jnp.asarray(rng.normal(size=(bs, h, w, 4 * C))
                         .astype(np.float32)).astype(jnp.bfloat16)
         ref = jax.jit(ring_ref)(x, kf, bf)
         got = jax.jit(fused_folded_conv)(x, kf, bf)
         # bf16 matmul accumulation reassociation: ~1e-1 on O(20) values
-        check(f"fused_folded_conv bf16 b{bs} h{h}", got, ref, atol=0.25)
+        check(f"fused_folded_conv bf16 b{bs} h{h} w{w}", got, ref, atol=0.25)
 
     # rings override (the spatial shard_map halo path): custom boundary
     # rows spliced in place of the reflect ring must equal the XLA conv
