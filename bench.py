@@ -7,8 +7,9 @@ Prints ONE JSON line:
 Baseline: the reference publishes no numbers (BASELINE.md), so the
 comparison point is a FLOPs-derived V100 estimate for the same model
 documented in BASELINE.md (constant multiscale AdaIN, rp5/h32, 512px
-stylization ≈ 59.4 GFLOP/image ⇒ ~90 img/s at an optimistic 50% of V100
-fp32 peak plus framework overheads). vs_baseline = measured / 90.
+stylization ≈ 59.4 GFLOP/image ⇒ ~90 img/s at a deliberately generous
+35% of V100 fp32 peak — the derivation of record lives in BASELINE.md
+"Reference baseline"). vs_baseline = measured / 90.
 
 Extra diagnostics (per-dtype throughput, p50 latency) go to stderr.
 """

@@ -17,11 +17,16 @@ from pathlib import Path
 _ROOT = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(_ROOT / "src"))
 sys.path.insert(0, str(_ROOT))
+
+import bench
+
+# PJRT client creation hangs indefinitely on a half-open axon tunnel
+# (bench.py:368-388) — probe in a subprocess before touching jax.devices().
+bench._require_responsive_backend()
+
 import jax
 
 print("devices:", jax.devices(), flush=True)
-
-import bench
 
 bundle = bench.build("bfloat16")
 for batch in (8, 12, 16, 24):
@@ -32,3 +37,8 @@ for batch in (8, 12, 16, 24):
     except Exception as e:
         print(f"int8-folded batch={batch}: {type(e).__name__}: "
               f"{str(e)[:140]}", flush=True)
+    finally:
+        # Growing per-batch programs accumulate on the tunnel server's heap
+        # and later batches OOM spuriously (bench._family_sweep does the
+        # same after observing RESOURCE_EXHAUSTED).
+        jax.clear_caches()
