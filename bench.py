@@ -283,8 +283,13 @@ def bench_engine_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
 
 
 def bench_train(exec_strategy: str, batch: int, iters: int = 10,
-                repeats: int = 3):
-    """Full train-step throughput (stderr): loss + 3xVGG + grads + Adam."""
+                repeats: int = 3, img: int = None, label: str = "",
+                **cfg_over):
+    """Full train-step throughput (stderr): loss + 3xVGG + grads + Adam.
+
+    ``cfg_over`` A/Bs training knobs (e.g. ``train_q8_targets=True`` —
+    the no-grad style/content VGG loss targets through the chained-int8
+    encoder; ``remat=True``)."""
     from functools import partial
     from rpst.config import load_config
     from rpst.models import build_model
@@ -292,18 +297,23 @@ def bench_train(exec_strategy: str, batch: int, iters: int = 10,
     from rpst.train import create_train_state
     from rpst.train.step import make_train_step
 
+    img = img or IMG
     cfg = load_config(dict(network="multi_adain", enc_stack_way="constant",
                            rp_blocks=5, hidden_dim=32, inception_num=0,
-                           attention="none", img_size=IMG, batch_size=batch,
+                           attention="none", img_size=img, batch_size=batch,
                            compute_dtype="bfloat16",
-                           exec_strategy=exec_strategy))
+                           exec_strategy=exec_strategy, **cfg_over))
     bundle = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     content = jnp.asarray(np.random.default_rng(0).random(
-        (batch, IMG, IMG, 3), np.float32))
+        (batch, img, img, 3), np.float32))
     style = jnp.asarray(np.random.default_rng(1).random(
-        (batch, IMG, IMG, 3), np.float32))
+        (batch, img, img, 3), np.float32))
     _, vgg_vars = init_vgg_params(rng, num_stages=4)
+    if cfg.get("train_q8_targets", False):
+        from rpst.models.fast_path_q8 import calibrate_vgg_targets_q8
+        bundle.q8_target_scales = calibrate_vgg_targets_q8(
+            vgg_vars, content, style)
     state, tx = create_train_state(bundle, rng, content, style, vgg_vars)
     step = make_train_step(bundle, tx)
     state, parts = step(state, vgg_vars, content, style)
@@ -319,8 +329,10 @@ def bench_train(exec_strategy: str, batch: int, iters: int = 10,
         float(parts["total_loss"])
         best = min(best, time.perf_counter() - t0)
     per = best / iters
-    log(f"[train] {exec_strategy} batch={batch}: {batch/per:.2f} img/s "
-        f"({per*1e3:.1f} ms/step)")
+    tag = f" {label}" if label else ""
+    log(f"[train] {exec_strategy}{tag} {img}px batch={batch}: "
+        f"{batch/per:.2f} img/s ({per*1e3:.1f} ms/step)")
+    jax.clear_caches()
 
 
 def bench_vgg_q8(network: str, batches=(1, 4), img=IMG, **cfg_over):
@@ -411,6 +423,17 @@ def main():
         for strat in ("folded", "standard"):
             for batch in (8, 4, 1):
                 bench_train(strat, batch)
+        # A/B rows (VERDICT r3 item 2): int8 no-grad VGG loss targets,
+        # remat memory/throughput, and 1024px training
+        for batch in (8, 4, 1):
+            bench_train("folded", batch, label="q8tgt",
+                        train_q8_targets=True)
+        for batch in (4, 1):
+            bench_train("folded", batch, img=1024, label="1024")
+            bench_train("folded", batch, img=1024, label="1024+q8tgt",
+                        train_q8_targets=True)
+        bench_train("folded", 4, label="remat", remat=True)
+        bench_train("folded", 8, label="remat", remat=True)
         return
     if "--all" in sys.argv:
         # secondary sweep: other model families + high-res scaling

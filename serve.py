@@ -159,7 +159,7 @@ def main():
     variables = {"params": jax.device_get(state.params),
                  **jax.device_get(state.extra)}
 
-    mode = resolve_mode(bundle, args.mode)
+    mode = resolve_mode(bundle, args.mode, batch=args.batch)
     # On the CPU backend (tests, dry runs) the int8 Pallas kernels run in
     # interpret mode; on TPU they compile natively.
     q8_interpret = jax.default_backend() == "cpu"

@@ -131,6 +131,8 @@ DEFAULTS: Dict[str, Any] = {
     "mst_lambda": 0.0,  # MST pairwise Potts weight (reference lam=0, adain_rp.py:434)
     "max_seg_labels": 64,  # static label universe for masked AdaIN
     "remat": False,  # rematerialize forward on backward (activation memory)
+    "train_q8_targets": False,  # int8 no-grad VGG loss targets (folded
+    #   families; calibrated on the first batch — models/__init__.py)
     # 'standard' | 'folded': folded = space-to-depth execution of the RP
     # conv stacks (exact, ~4x less HBM traffic at hidden_dim<=32; only for
     # plain multi_adain constant stacks — see rpst.models.fast_path)

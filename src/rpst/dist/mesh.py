@@ -159,6 +159,23 @@ def shard_params_tp(tree, mesh: Mesh, min_channels: int = 32):
     return jax.device_put(tree, tp_shardings(tree, mesh, min_channels))
 
 
+def spatial_folded_train_ok(bundle, mesh: Mesh) -> bool:
+    """True when the flagship folded train step can run its fused Pallas
+    kernels per shard via shard_map on this mesh: halo exchange + psum'd
+    stats in forward AND backward (models/fast_path_spatial.py).  Needs
+    replicated params (no ``model``/TP axis) and the folded flagship
+    config; any other folded configuration on a >1-device mesh must fall
+    back to the XLA ring conv (Mosaic custom calls carry no SPMD
+    partitioning rule)."""
+    spatial = dict(mesh.shape).get("spatial", 1)
+    return (bundle.network == "multi_adain"
+            and bundle.folded_exec()
+            and bool(bundle.cfg.get("folded_train_pallas", False))
+            and "model" not in mesh.axis_names
+            # three VGG pools + >= 2 relu4_1 rows per spatial shard
+            and bundle.cfg.img_size % (16 * spatial) == 0)
+
+
 def make_sharded_train_step(bundle, tx, mesh: Mesh, spatial: bool = False,
                             with_labels: bool = False, state_sharding=None):
     """Data/spatial/tensor-parallel version of ``train.step.make_train_step``.
@@ -167,24 +184,41 @@ def make_sharded_train_step(bundle, tx, mesh: Mesh, spatial: bool = False,
     ``model`` mesh axis): trainable params and their optimizer moments
     live channel-sharded (see ``_tp_leaf_spec``); the train step consumes
     and produces them sharded, so weight memory and the update math scale
-    1/tp per device."""
+    1/tp per device.
+
+    When ``spatial_folded_train_ok`` holds, the loss+grads run as ONE
+    shard_map with per-shard fused Pallas kernels (fwd + custom-VJP bwd,
+    adjoint halo rows over ppermute) instead of GSPMD of the XLA path."""
     repl = NamedSharding(mesh, P())
     state_shard = repl if state_sharding is None else state_sharding
     img_spec = (P("data", "spatial")
                 if spatial and "spatial" in mesh.axis_names else P("data"))
     data = NamedSharding(mesh, img_spec)
+    use_spatial_pallas = (not with_labels
+                         and spatial_folded_train_ok(bundle, mesh))
 
     import optax
 
     def step_fn(state, vgg_vars, content, style, content_label=None):
-        def loss_fn(params):
-            total, (parts, muts) = bundle.loss(
-                {"params": params, **state.extra}, vgg_vars, content, style,
-                train=True, content_label=content_label)
-            return total, (parts, muts)
+        if use_spatial_pallas:
+            from ..models.fast_path_spatial import (
+                loss_and_grads_multi_adain_folded_spatial)
+            cfg = bundle.cfg
+            _, parts, grads = loss_and_grads_multi_adain_folded_spatial(
+                state.params, vgg_vars["params"], content, style, mesh,
+                content_weight=cfg.content_weight,
+                style_weight=cfg.style_weight,
+                dtype=bundle._folded_dtype())
+            muts = {}
+        else:
+            def loss_fn(params):
+                total, (parts, muts) = bundle.loss(
+                    {"params": params, **state.extra}, vgg_vars, content,
+                    style, train=True, content_label=content_label)
+                return total, (parts, muts)
 
-        (_, (parts, muts)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            (_, (parts, muts)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         extra = dict(state.extra)

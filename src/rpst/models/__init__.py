@@ -53,6 +53,10 @@ class ModelBundle:
     vgg: VGG19Encoder
     vgg_stages: int
     cfg: Config
+    # activation scales for int8 no-grad VGG loss targets
+    # (``train_q8_targets``; set by train.py after calibrating on the
+    # first batch — fast_path_q8.calibrate_vgg_targets_q8)
+    q8_target_scales: Optional[Dict[str, Any]] = None
 
     # ------------------------------------------------------------------
     def folded_exec(self) -> bool:
@@ -147,14 +151,17 @@ class ModelBundle:
                 and self._folded_stack_ok()
                 and (self.cfg.hidden_dim * 4) % 128 == 0)
 
-    def q8_recommended(self) -> bool:
+    def q8_recommended(self, batch: Optional[int] = None) -> bool:
         """q8 paths ``--mode auto`` should pick: those measured faster
-        than the family's best bf16 path on TPU v5e (BASELINE.md round-3
-        same-day A/B). spade is excluded — its cost is the bf16 SPADE
-        generator, so the int8 encoders only add requant overhead
-        (measured 9.2 vs 10.9 img/s b4 512px); ``--mode q8`` still
-        serves it explicitly."""
-        return self.q8_infer() and self.network != "spade"
+        than the family's best bf16 path on TPU v5e AT THIS BATCH —
+        the measured crossover table (``rpst.policy.Q8_WIN_RANGE``,
+        BASELINE.md winners per family × batch: e.g. ld_adain2 q8 loses
+        at b1 and wins from b2; dynamic_sanet/src cross at b4; mst's q8
+        win inverts ABOVE b3 where the folded bf16 engine wins; spade and
+        ccam never win).  ``--mode q8`` still serves any q8_infer family
+        explicitly."""
+        from ..policy import q8_preferred
+        return self.q8_infer() and q8_preferred(self.network, batch)
 
     def _folded_dtype(self):
         return (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
@@ -256,10 +263,23 @@ class ModelBundle:
                     variables["params"], content, style,
                     dtype=self._folded_dtype(),
                     use_pallas=self.cfg.get("folded_train_pallas", False))
-            parts, _ = perceptual_rp_losses_folded(
-                vgg_vars, stylized, style, content,
-                self.cfg.content_weight, self.cfg.style_weight,
-                dtype=self._folded_dtype())
+            if (self.cfg.get("train_q8_targets", False)
+                    and self.q8_target_scales is not None
+                    and self.cfg.img_size % 8 == 0):
+                # no-grad style/content target forwards through the
+                # chained-int8 VGG (round-4 item 2); the stylized pass —
+                # the only one carrying gradients — stays folded bf16
+                from ..nn.vgg_folded import perceptual_rp_losses_q8targets
+                parts, _ = perceptual_rp_losses_q8targets(
+                    vgg_vars, self.q8_target_scales, stylized, style,
+                    content, self.cfg.content_weight,
+                    self.cfg.style_weight, dtype=self._folded_dtype(),
+                    interpret=jax.default_backend() == "cpu")
+            else:
+                parts, _ = perceptual_rp_losses_folded(
+                    vgg_vars, stylized, style, content,
+                    self.cfg.content_weight, self.cfg.style_weight,
+                    dtype=self._folded_dtype())
         else:
             out = model.apply(variables, content, style, train=train,
                               mutable=mutable)

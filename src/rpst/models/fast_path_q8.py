@@ -1164,6 +1164,38 @@ def _vgg_encode_q8(vgg_params, x, num_stages, dtype, conv_q, st):
     return [taps[i] for i in tap_idx]
 
 
+def calibrate_vgg_targets_q8(vgg_vars, content, style) -> Dict[str, np.ndarray]:
+    """Activation scales for the no-grad VGG loss-TARGET encode used by
+    int8-target training (``train_q8_targets`` — round-4 VERDICT item 2).
+
+    The VGG is frozen, so one absmax pass over a representative batch
+    fixes the scales for the whole run (the serving-PTQ recipe)."""
+    def collect(vgg_vars, c, s):
+        st = _ScaleStream()
+        _vgg_encode_q8(vgg_vars["params"],
+                       jnp.concatenate([s, c], axis=0).astype(jnp.bfloat16),
+                       4, jnp.bfloat16, None, st)
+        return st.absmax
+
+    absmax = jax.jit(collect)(vgg_vars, content, style)
+    return {"act_scales": np.asarray(
+        [max(float(a), 1e-6) / 127.0 for a in absmax], np.float32)}
+
+
+def vgg_target_taps_q8(vgg_vars, scales, imgs, dtype=jnp.bfloat16,
+                       block_rows: int = 16, interpret: bool = False):
+    """[relu1_1..relu4_1] taps of ``imgs`` through the chained-int8 VGG
+    encoder — the training loss's no-grad style/content targets
+    (reference adain_rp.py:327-329 runs these as full-precision frozen
+    forwards; they carry no gradients, so int8 only perturbs the loss
+    TARGET values, never the backward path)."""
+    st = _ScaleStream(scales["act_scales"])
+    conv_q = _make_conv_q_std(dtype, block_rows, interpret, "reflect")
+    return _vgg_encode_q8(vgg_vars["params"],
+                          jax.lax.stop_gradient(imgs).astype(dtype),
+                          4, dtype, conv_q, st)
+
+
 # VGG-mirror decoder program (nn/decoder.py): conv name -> (pre, act)
 _MIRROR_PROGRAM = [(None, True), ("up", True), (None, True), (None, True),
                    (None, True), ("up", True), (None, True), ("up", True),
@@ -1457,7 +1489,9 @@ def stylize_ld_q8(params, scales, content, style,
     Measured 512px (h16/L5, v5e): b1 13.5 -> 19.4 img/s, b2 12.1 ->
     16.3 (xla), b4 15.2 -> 26.4 (pallas) — vs the bf16 fast path."""
     if conv_impl == "auto":
-        conv_impl = "pallas" if 2 * content.shape[0] >= 8 else "xla"
+        from ..policy import LD_MIXED_ENGINE_MIN_2N
+        conv_impl = ("pallas" if 2 * content.shape[0]
+                     >= LD_MIXED_ENGINE_MIN_2N else "xla")
     st = _ScaleStream(scales["act_scales"])
     if conv_impl == "xla":
         def conv_q(x_q, x_s, k, b, out_scale=None):
@@ -1623,7 +1657,9 @@ def stylize_ld2_q8(params, scales, content, style,
     (-5%: the one point below bf16 — only ~44% of the family's MACs are
     lane-aligned), b2 20.9 -> 28.2 (+35%), b4 24.3 -> 27.9 (+15%)."""
     if conv_impl == "auto":
-        conv_impl = "pallas" if 2 * content.shape[0] >= 4 else "xla"
+        from ..policy import LD_PALLAS_MIN_2N
+        conv_impl = ("pallas" if 2 * content.shape[0]
+                     >= LD_PALLAS_MIN_2N else "xla")
     st = _ScaleStream(scales["act_scales"])
     if conv_impl == "xla":
         def conv_lrelu(x_q, x_s, k, b, out_scale=None):

@@ -62,18 +62,24 @@ def _halo_rows(x_l, axis: str, n_shards: int):
 
 
 def _conv_lrelu_halo(x_l, k, b, axis: str, n_shards: int, interpret: bool):
-    """One folded conv + bias + lrelu on an H-shard.
+    """One folded conv + bias + lrelu on an H-shard — DIFFERENTIABLE.
 
     Lane-filling layers run the fused Pallas kernel with the halo rows in
-    its ``rings`` slot; boundary layers (3<->hidden channels) take the XLA
-    path on the halo-padded slab with local reflect column rings (corners
-    fall out as in ``ops.folded.folded_reflect_pad``)."""
+    its ``rings`` slot through ``folded_conv_act_halo`` (custom VJP: the
+    Pallas backward pair per shard, with the virtual-row cotangents
+    returned so autodiff of ``_halo_rows`` ships the adjoint halo rows to
+    the neighbor via the ppermute transpose and applies the reflect-pad
+    adjoint at the global edges via ``_row_ring``'s transpose); boundary
+    layers (3<->hidden channels) take the XLA path on the halo-padded
+    slab with local reflect column rings (corners fall out as in
+    ``ops.folded.folded_reflect_pad``), differentiable natively."""
     above, below = _halo_rows(x_l, axis, n_shards)
     if (k.shape[2] % 128 == 0 and k.shape[3] % 128 == 0
             and (interpret or jax.default_backend() != "cpu")):
-        rings = jnp.concatenate([above, below], axis=1)
-        return fused_folded_conv(x_l, k, b, rings=rings,
-                                 interpret=interpret)
+        from ..ops.pallas.folded_conv import folded_conv_act_halo
+        return folded_conv_act_halo(0.2, interpret, x_l, k, b,
+                                    above.astype(x_l.dtype),
+                                    below.astype(x_l.dtype))
     xp = jnp.concatenate([above.astype(x_l.dtype), x_l,
                           below.astype(x_l.dtype)], axis=1)
     y = jax.lax.conv_general_dilated(
@@ -146,35 +152,44 @@ def stylize_multi_adain_folded_spatial(params, content, style, mesh: Mesh,
     n_shards = mesh.shape["spatial"]
 
     def shard_fn(params, c_l, s_l):
-        enc = _folded_blocks(params["rp_shared_encoder"])
-        dec = _folded_blocks(params["rp_decoder"])
-        conv = lambda x, k, b: _conv_lrelu_halo(
-            x, k.astype(dtype), b.astype(dtype), "spatial", n_shards,
-            interpret)
-        adain = partial(_folded_adain_spatial, axis="spatial",
-                        n_shards=n_shards)
-
-        def encode(img):
-            x = fold(img.astype(dtype))
-            feats = []
-            for k, b in enc:
-                x = conv(x, k, b)
-                feats.append(x)
-            return feats
-
-        c_feats = encode(c_l)
-        s_feats = encode(s_l)
-        stylized = adain(c_feats[-1], s_feats[-1])
-        k, b = dec[0]
-        stylized = conv(stylized, k, b)
-        for i, (cf, sf) in enumerate(
-                list(zip(c_feats[:-1], s_feats[:-1]))[::-1]):
-            fusion = adain(cf, sf)
-            k, b = dec[i + 1]
-            stylized = conv(stylized + fusion, k, b)
-        return unfold(stylized).astype(c_l.dtype)
+        return _multi_adain_shard_body(params, c_l, s_l, n_shards, dtype,
+                                       interpret)
 
     return _run_spatial(mesh, shard_fn, params, content, style)
+
+
+def _multi_adain_shard_body(params, c_l, s_l, n_shards: int, dtype,
+                            interpret: bool):
+    """The per-shard folded flagship stylize — shared by the serving
+    entry above and the trainable spatial loss below (every op here is
+    differentiable; see ``_conv_lrelu_halo``)."""
+    enc = _folded_blocks(params["rp_shared_encoder"])
+    dec = _folded_blocks(params["rp_decoder"])
+    conv = lambda x, k, b: _conv_lrelu_halo(
+        x, k.astype(dtype), b.astype(dtype), "spatial", n_shards,
+        interpret)
+    adain = partial(_folded_adain_spatial, axis="spatial",
+                    n_shards=n_shards)
+
+    def encode(img):
+        x = fold(img.astype(dtype))
+        feats = []
+        for k, b in enc:
+            x = conv(x, k, b)
+            feats.append(x)
+        return feats
+
+    c_feats = encode(c_l)
+    s_feats = encode(s_l)
+    stylized = adain(c_feats[-1], s_feats[-1])
+    k, b = dec[0]
+    stylized = conv(stylized, k, b)
+    for i, (cf, sf) in enumerate(
+            list(zip(c_feats[:-1], s_feats[:-1]))[::-1]):
+        fusion = adain(cf, sf)
+        k, b = dec[i + 1]
+        stylized = conv(stylized + fusion, k, b)
+    return unfold(stylized).astype(c_l.dtype)
 
 
 def _zero_conv_halo(x_l, k, axis: str, n_shards: int):
@@ -569,3 +584,159 @@ def stylize_sanet_spatial(variables, vgg_vars, content, style, mesh: Mesh,
                          out_specs=img_spec,
                          check_vma=False)(variables, vgg_vars["params"],
                                           content, style)
+
+
+# ---------------------------------------------------------------------------
+# Spatially sharded folded TRAINING (flagship multi_adain)
+# ---------------------------------------------------------------------------
+
+def _vgg_taps_spatial(vgg_params, x_l, axis: str, n_shards: int, dtype):
+    """[relu1_1..relu4_1] of an H-shard through the frozen VGG: reflect
+    convs exchange halo rows (``_reflect_conv_halo_std``), pools are
+    row-local exact 2x2/2 (== ceil mode on the even sizes training uses;
+    requires local rows % 8 == 0 for the three pools to relu4_1).
+    Differentiable — the loss backward re-enters through these convs."""
+    from .fast_path_q8 import _maxpool2x_any, _vgg_q8_layers
+
+    convs, program, tap_idx = _vgg_q8_layers(vgg_params, 4)
+    x = x_l.astype(dtype)
+    taps = []
+    for li, (k, b) in enumerate(convs):
+        pre, act = program[li]
+        if pre == "pool":
+            x = _maxpool2x_any(x)
+        x = _reflect_conv_halo_std(x, k.astype(dtype), b.astype(dtype),
+                                   axis, n_shards, act=act)
+        if li in tap_idx:
+            taps.append(x)
+    return taps
+
+
+def _tap_stats_spatial(x_l, axis: str, n_shards: int, eps: float = 1e-5):
+    """(mean, std) each (N, C) f32 over the GLOBAL H*W of a sharded tap —
+    ``ops.stats.calc_mean_std`` semantics (unbiased variance, eps inside
+    sqrt), local sums psum'd over the spatial axis."""
+    n, hh, ww, c = x_l.shape
+    m = hh * ww * n_shards
+    v = x_l.astype(jnp.float32)
+    s1 = jnp.sum(v, axis=(1, 2))
+    s2 = jnp.sum(v * v, axis=(1, 2))
+    if n_shards > 1:
+        s1 = jax.lax.psum(s1, axis)
+        s2 = jax.lax.psum(s2, axis)
+    mean = s1 / m
+    var = (s2 - m * mean * mean) / max(m - 1, 1)
+    std = jnp.sqrt(jnp.maximum(var, 0.0) + eps)
+    return mean, std
+
+
+def _perceptual_rp_losses_spatial(vgg_params, stylized_l, style_l,
+                                  content_l, axis: str, n_shards: int,
+                                  data_axis, data_shards: int, dtype):
+    """``models.base.perceptual_rp_losses`` on H-shards: style-stat MSE
+    over relu1..4_1 + relu4_1 content MSE (reference adain_rp.py:321-345),
+    every reduction assembled from local sums + psum so the returned
+    values are the GLOBAL losses, replicated on every shard.  Parameter
+    gradients of the per-shard trace flow only through the shard's local
+    terms, so psum-of-grads over all mesh axes reconstructs the exact
+    global gradient (the standard SPMD training identity)."""
+    n_local = style_l.shape[0]
+    n_global = n_local * data_shards
+
+    def all_sum(v):
+        if n_shards > 1:
+            v = jax.lax.psum(v, axis)
+        if data_axis is not None and data_shards > 1:
+            v = jax.lax.psum(v, data_axis)
+        return v
+
+    def data_sum(v):
+        if data_axis is not None and data_shards > 1:
+            v = jax.lax.psum(v, data_axis)
+        return v
+
+    g_taps = _vgg_taps_spatial(vgg_params, stylized_l, axis, n_shards,
+                               dtype)
+    sc = jax.lax.stop_gradient(
+        jnp.concatenate([style_l, content_l], axis=0))
+    t_taps = [jax.lax.stop_gradient(t) for t in
+              _vgg_taps_spatial(vgg_params, sc, axis, n_shards, dtype)]
+
+    loss_s = jnp.float32(0.0)
+    for g, t in zip(g_taps, t_taps):
+        gm, gs = _tap_stats_spatial(g, axis, n_shards)
+        tm, ts = _tap_stats_spatial(t[:n_local], axis, n_shards)
+        tm, ts = jax.lax.stop_gradient((tm, ts))
+        c = gm.shape[-1]
+        sq = (jnp.sum((gm - tm) ** 2) + jnp.sum((gs - ts) ** 2))
+        loss_s = loss_s + data_sum(sq) / (n_global * c)
+
+    g4 = g_taps[-1].astype(jnp.float32)
+    t4 = jax.lax.stop_gradient(t_taps[-1][n_local:]).astype(jnp.float32)
+    _, h4, w4, c4 = g4.shape
+    loss_c = (all_sum(jnp.sum((g4 - t4) ** 2))
+              / (n_global * h4 * w4 * n_shards * c4))
+    return {"style_loss": loss_s, "content_loss": loss_c}
+
+
+def loss_and_grads_multi_adain_folded_spatial(
+        params, vgg_params, content, style, mesh: Mesh, *,
+        content_weight: float, style_weight: float, dtype=jnp.bfloat16,
+        interpret: bool | None = None):
+    """(total, parts, grads) for the flagship folded train step over a
+    ``{data?, spatial}`` mesh, in ONE shard_map — forward AND backward run
+    the fused Pallas kernels per shard (VERDICT r3 item 3: multi-chip
+    training no longer forfeits the fused-kernel +44%).
+
+    Forward: ``_multi_adain_shard_body`` (ppermute halo rows, psum'd
+    AdaIN stats) + the spatial perceptual loss above.  Backward: autodiff
+    of the per-shard trace — ``folded_conv_act_halo``'s VJP returns the
+    virtual-row cotangents, the ppermute/``_row_ring`` transposes ship
+    them to the neighbor's edge rows / fold them into the reflect-pad
+    adjoint, and the returned per-shard parameter grads psum over every
+    mesh axis.  Gradient equality vs the single-device fused path is
+    pinned in tests/test_spatial_train.py."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    axis = "spatial"
+    has_spatial = axis in mesh.axis_names
+    n_shards = mesh.shape[axis] if has_spatial else 1
+    data_axis = "data" if "data" in mesh.axis_names else None
+    data_shards = mesh.shape["data"] if data_axis else 1
+    assert content.shape[1] % (16 * max(n_shards, 1)) == 0, (
+        f"image height {content.shape[1]} must divide into 16*{n_shards} "
+        "rows (three VGG pools per shard, >= 2 relu4_1 rows per shard "
+        "for the boundary reflection)")
+    axes = tuple(a for a, s in ((data_axis, data_shards), (axis, n_shards))
+                 if a is not None and s > 1)
+    img_spec = P(data_axis, axis if has_spatial else None)
+
+    def shard_fn(params, vgg_params, c_l, s_l):
+        def local_loss(p):
+            stylized = _multi_adain_shard_body(p, c_l, s_l, n_shards,
+                                               dtype, interpret)
+            parts = _perceptual_rp_losses_spatial(
+                vgg_params, stylized, s_l, c_l, axis, n_shards,
+                data_axis, data_shards, dtype)
+            total = (content_weight * parts["content_loss"]
+                     + style_weight * parts["style_loss"])
+            return total, parts
+
+        (total, parts), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params)
+        if axes:
+            # Each shard seeds cotangent 1 on its OWN (replicated) loss
+            # copy and psum's adjoint is psum, so summing per-shard grads
+            # over the mesh yields n·dL/dp for every leaf — pmean, not
+            # psum, reconstructs the global gradient exactly (verified
+            # against the single-device path in test_spatial_train.py).
+            grads = jax.lax.pmean(grads, axes)
+        parts = dict(parts)
+        parts["total_loss"] = total
+        return total, parts, grads
+
+    return jax.shard_map(shard_fn, mesh=mesh,
+                         in_specs=(P(), P(), img_spec, img_spec),
+                         out_specs=(P(), P(), P()),
+                         check_vma=False)(params, vgg_params, content,
+                                          style)

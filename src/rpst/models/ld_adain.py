@@ -65,14 +65,67 @@ class VGGishBigBranch(nn.Module):
                     kernel_init=torch_conv_kernel_init,
                     bias_init=make_torch_bias_init(fan_in),
                     dtype=self.dtype, name="conv1x1")(x)
-        x = nn.relu(PadConv(self.features, 3, 1, 1, "reflect",
-                            dtype=self.dtype, name="conv_a")(x))
-        x = nn.relu(PadConv(self.features, 3, 1, 1, "reflect",
-                            dtype=self.dtype, name="conv_b")(x))
+        for name in ("conv_a", "conv_b"):
+            conv = PadConv(self.features, 3, 1, 1, "reflect",
+                           dtype=self.dtype, name=name)
+            y = conv(x)  # registers params (same tree either way)
+            if VGGISH_INT8:
+                # DCE drops the unused bf16 conv above under jit; the
+                # int8 form reads the registered params directly
+                p = self.scope.get_variable("params", name)
+                y = _dyn_q8_conv3x3_reflect(
+                    x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"],
+                    self.dtype or x.dtype)
+            x = nn.relu(y)
         x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
         if self.trailing_pad:
             x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
         return x
+
+
+# Measurement-only A/B switches (round-4 VERDICT item 8): dynamic-int8
+# forms of the LD residual candidates — the v5 non-overlap upsampler
+# projection and the v3-v5 pooled-branch 3x3 convs.  The revised hardware
+# model predicts no win (contractions K=8-16 / K*K*C=72-144, far below
+# the ~5k XLA int8 fast-rate window and the K>=256 Mosaic window), so
+# these exist to MEASURE that prediction (tools/hw/hw_ld_residual_q8.py);
+# only the hw runner may flip them (dynamic rounding has no useful VJP —
+# serving-only).
+NONOVERLAP_INT8 = False
+VGGISH_INT8 = False
+
+
+def _dyn_q8_dot(x2d, km):
+    """Dynamic per-tensor int8 matmul: quantize both operands on the
+    fly, int32 accumulate, dequantize.  Measurement-path only."""
+    sx = jnp.maximum(jnp.max(jnp.abs(x2d.astype(jnp.float32))), 1e-12) / 127
+    sk = jnp.maximum(jnp.max(jnp.abs(km.astype(jnp.float32))), 1e-12) / 127
+    xq = jnp.clip(jnp.round(x2d.astype(jnp.float32) / sx), -127,
+                  127).astype(jnp.int8)
+    kq = jnp.clip(jnp.round(km.astype(jnp.float32) / sk), -127,
+                  127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, kq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (sx * sk)
+
+
+def _dyn_q8_conv3x3_reflect(x, kernel, bias, dtype):
+    """Dynamic per-tensor int8 reflect 3x3 conv + bias via XLA's int8
+    conv path.  Measurement-path only."""
+    sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-12) / 127
+    sk = jnp.maximum(jnp.max(jnp.abs(kernel.astype(jnp.float32))),
+                     1e-12) / 127
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127,
+                  127).astype(jnp.int8)
+    kq = jnp.clip(jnp.round(kernel.astype(jnp.float32) / sk), -127,
+                  127).astype(jnp.int8)
+    xq = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    acc = jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (sx * sk) + bias.astype(jnp.float32)
+    return y.astype(dtype)
 
 
 class NonOverlapConvTranspose(nn.Module):
@@ -104,8 +157,11 @@ class NonOverlapConvTranspose(nn.Module):
         # transpose of a correlation); flip to match bit-for-bit
         km = jnp.transpose(kernel[::-1, ::-1], (2, 0, 1, 3)).reshape(
             c, kh * kw * self.features).astype(dt)
-        y = jax.lax.dot_general(x.astype(dt).reshape(-1, c), km,
-                                (((1,), (0,)), ((), ())))
+        if NONOVERLAP_INT8:
+            y = _dyn_q8_dot(x.reshape(-1, c), km).astype(dt)
+        else:
+            y = jax.lax.dot_general(x.astype(dt).reshape(-1, c), km,
+                                    (((1,), (0,)), ((), ())))
         y = y.reshape(n, h, w, kh, kw, self.features)
         y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
         y = y.reshape(n, h * kh, w * kw, self.features)
@@ -266,8 +322,11 @@ class LDAdaINRP(nn.Module):
         # (b1 6.4 -> 10.9) — flipped once the NonOverlapConvTranspose
         # rewrite removed that sink (b4 40.4 -> 30.7, b1 neutral), so the
         # batching is gated to variant 1, plus variant 2 at batch >= 4
-        # (hw_ld2_2n_ab.py 2026-08-19: b4 20.8 -> 24.1, b1 27.0 -> 23.5).
-        if self.variant == 1 or (self.variant == 2 and content.shape[0] >= 4):
+        # (hw_ld2_2n_ab.py 2026-08-19: b4 20.8 -> 24.1, b1 27.0 -> 23.5;
+        # threshold lives in rpst.policy.LD2_2N_ENCODE_MIN_BATCH).
+        from ..policy import LD2_2N_ENCODE_MIN_BATCH
+        if self.variant == 1 or (self.variant == 2 and content.shape[0]
+                                 >= LD2_2N_ENCODE_MIN_BATCH):
             n = content.shape[0]
             feats = self.encode_intermediate(
                 jnp.concatenate([content, style], axis=0), train=train)

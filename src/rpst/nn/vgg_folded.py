@@ -161,3 +161,42 @@ def perceptual_rp_losses_folded(vgg_vars, stylized, style, content,
                  jax.lax.stop_gradient(t_relu4[n:]).astype(jnp.float32))
     total = content_weight * loss_c + style_weight * loss_s
     return {"style_loss": loss_s, "content_loss": loss_c}, total
+
+
+def perceptual_rp_losses_q8targets(vgg_vars, scales, stylized, style,
+                                   content, content_weight: float,
+                                   style_weight: float,
+                                   dtype: Any = jnp.bfloat16,
+                                   interpret: bool = False):
+    """``perceptual_rp_losses_folded`` with the two NO-GRAD target
+    forwards (style + content — reference adain_rp.py:327-329) through
+    the chained-int8 VGG encoder (round-4 VERDICT item 2).
+
+    Only the stylized image's VGG pass needs gradients; the style/content
+    passes merely produce loss TARGETS (stat pairs + relu4_1), so int8
+    there perturbs target values by quantization noise and the backward
+    sweep's structure not at all.  The stylized pass stays on the folded
+    bf16 path (fused Pallas fwd+bwd).  Quality gate: gradient cosine vs
+    the bf16-target path, pinned in tests/test_q8_targets.py; the on-hw
+    loss-curve A/B is recorded in BASELINE.md."""
+    from ..models.base import mse
+    from ..models.fast_path_q8 import vgg_target_taps_q8
+
+    g_stats, g_relu4 = vgg_perceptual_stats(vgg_vars, stylized, dtype)
+    n = style.shape[0]
+    sc = jax.lax.stop_gradient(jnp.concatenate([style, content], axis=0))
+    taps = vgg_target_taps_q8(vgg_vars, scales, sc, dtype,
+                              interpret=interpret)
+    t_stats = []
+    for t in taps:
+        m, s = calc_mean_std(t[:n].astype(jnp.float32))
+        t_stats.append((m[:, 0, 0, :], s[:, 0, 0, :]))
+    t_relu4 = taps[-1][n:]
+
+    loss_s = sum(mse(gm, jax.lax.stop_gradient(tm))
+                 + mse(gs, jax.lax.stop_gradient(ts))
+                 for (gm, gs), (tm, ts) in zip(g_stats, t_stats))
+    loss_c = mse(g_relu4.astype(jnp.float32),
+                 jax.lax.stop_gradient(t_relu4).astype(jnp.float32))
+    total = content_weight * loss_c + style_weight * loss_s
+    return {"style_loss": loss_s, "content_loss": loss_c}, total

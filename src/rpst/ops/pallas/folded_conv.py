@@ -163,7 +163,7 @@ def _shrink_block_rows(h, w, c4, c4o, isz, block_rows, out_isz=None,
 
 
 def _make_bwd_input_kernel(block_rows: int, num_blocks: int, N: int, H: int,
-                           W: int, C4: int):
+                           W: int, C4: int, row_rings: bool = True):
     """dL/dx of the fused reflect-pad folded conv (no bias/activation —
     the lrelu mask is applied by the caller).
 
@@ -309,19 +309,27 @@ def _make_bwd_input_kernel(block_rows: int, num_blocks: int, N: int, H: int,
             mid = mid + jnp.where((colv == W - 2) & m2[1], cornerW, 0.0)
             return mid
 
-        # top: G[-1] from gz row 0 (slab row 1 on the first block)
-        top_ring = ring_row(slab[1], 2)[None]  # (1, W, C4)
-        rloc = jax.lax.broadcasted_iota(jnp.int32, (BR, 1, 1), 0)
-        first = i == 0
-        acc = acc + jnp.where(first & (rloc == 1) & blk_si0, top_ring, 0.0)
-        acc = acc + jnp.where(first & (rloc == 0) & blk_si1, top_ring, 0.0)
-        # bottom: G[H] from gz row H-1 (slab row BR on the last block)
-        bot_ring = ring_row(slab[BR], 0)[None]
-        last = i == num_blocks - 1
-        acc = acc + jnp.where(last & (rloc == BR - 1) & blk_si0,
-                              bot_ring, 0.0)
-        acc = acc + jnp.where(last & (rloc == BR - 2) & blk_si1,
-                              bot_ring, 0.0)
+        if row_rings:
+            # top: G[-1] from gz row 0 (slab row 1 on the first block)
+            top_ring = ring_row(slab[1], 2)[None]  # (1, W, C4)
+            rloc = jax.lax.broadcasted_iota(jnp.int32, (BR, 1, 1), 0)
+            first = i == 0
+            acc = acc + jnp.where(first & (rloc == 1) & blk_si0,
+                                  top_ring, 0.0)
+            acc = acc + jnp.where(first & (rloc == 0) & blk_si1,
+                                  top_ring, 0.0)
+            # bottom: G[H] from gz row H-1 (slab row BR on the last block)
+            bot_ring = ring_row(slab[BR], 0)[None]
+            last = i == num_blocks - 1
+            acc = acc + jnp.where(last & (rloc == BR - 1) & blk_si0,
+                                  bot_ring, 0.0)
+            acc = acc + jnp.where(last & (rloc == BR - 2) & blk_si1,
+                                  bot_ring, 0.0)
+        # row_rings=False (spatially sharded caller): the gradients w.r.t.
+        # the two virtual boundary rows are returned separately by
+        # ``fused_folded_conv_ring_grads`` and routed by the caller —
+        # reflect-scatter locally only at the GLOBAL image boundary,
+        # ppermute to the neighbor shard's edge rows otherwise.
 
         o_ref[0] = acc.astype(o_ref.dtype)
 
@@ -330,17 +338,25 @@ def _make_bwd_input_kernel(block_rows: int, num_blocks: int, N: int, H: int,
 
 def fused_folded_conv_grad_input(gz: jnp.ndarray, khat: jnp.ndarray,
                                  block_rows: int = 16,
-                                 interpret: bool = False) -> jnp.ndarray:
+                                 interpret: bool = False,
+                                 row_rings: bool = True) -> jnp.ndarray:
     """dL/dx_f for ``fused_folded_conv`` given gz = dL/d(pre-activation).
 
     gz: (N, H, W, 4Co); khat: (3, 3, 4Co, 4C) =
-    ``transpose(kf[::-1, ::-1], (0, 1, 3, 2))``. Returns (N, H, W, 4C)."""
+    ``transpose(kf[::-1, ::-1], (0, 1, 3, 2))``. Returns (N, H, W, 4C).
+
+    ``row_rings=False`` skips the top/bottom reflect-row adjoint scatter
+    (the ring-COLUMN adjoint still applies — columns are never sharded);
+    spatially sharded callers recover the virtual-row gradients via
+    ``fused_folded_conv_ring_grads`` and route them through the halo
+    exchange's transpose instead."""
     n, h, w, c4o = gz.shape
     c4 = khat.shape[-1]
     block_rows = _shrink_block_rows(h, w, c4o, c4, gz.dtype.itemsize,
                                     block_rows, min_rows=1)
     num_blocks = h // block_rows
-    kernel = _make_bwd_input_kernel(block_rows, num_blocks, n, h, w, c4)
+    kernel = _make_bwd_input_kernel(block_rows, num_blocks, n, h, w, c4,
+                                    row_rings=row_rings)
     return pl.pallas_call(
         kernel,
         grid=(n, num_blocks),
@@ -451,8 +467,13 @@ def _make_bwd_weight_kernel(block_rows: int, num_blocks: int, N: int, H: int,
 
 def fused_folded_conv_grad_weight(x_f: jnp.ndarray, gz: jnp.ndarray,
                                   block_rows: int = 16,
-                                  interpret: bool = False):
-    """(dL/dKf (3,3,4C,4Co) f32, dL/db (4Co,) f32) for the fused conv."""
+                                  interpret: bool = False,
+                                  rings: jnp.ndarray | None = None):
+    """(dL/dKf (3,3,4C,4Co) f32, dL/db (4Co,) f32) for the fused conv.
+
+    ``rings`` must be the SAME virtual boundary rows the forward used —
+    defaults to the reflect ring; a spatially sharded caller passes the
+    neighbor-shard halo rows it convolved with."""
     from ..folded import _row_ring
 
     n, h, w, c4 = x_f.shape
@@ -460,8 +481,10 @@ def fused_folded_conv_grad_weight(x_f: jnp.ndarray, gz: jnp.ndarray,
     block_rows = _shrink_block_rows(h, w, c4, c4o, x_f.dtype.itemsize,
                                     block_rows, min_rows=1)
     num_blocks = h // block_rows
-    rings = jnp.concatenate([_row_ring(x_f, True), _row_ring(x_f, False)],
-                            axis=1)
+    if rings is None:
+        rings = jnp.concatenate([_row_ring(x_f, True),
+                                 _row_ring(x_f, False)], axis=1)
+    rings = rings.astype(x_f.dtype)
     kernel = _make_bwd_weight_kernel(block_rows, num_blocks, n, h, w, c4)
     dk, db = pl.pallas_call(
         kernel,
@@ -534,6 +557,94 @@ def folded_conv_lrelu(x_f, folded_kernel, folded_bias):
 
 def folded_conv_relu(x_f, folded_kernel, folded_bias):
     return folded_conv_act(0.0, x_f, folded_kernel, folded_bias)
+
+
+def fused_folded_conv_ring_grads(gz: jnp.ndarray, khat: jnp.ndarray):
+    """Gradients w.r.t. the two virtual boundary rows of
+    ``fused_folded_conv`` (its ``rings`` input): (d_above, d_below), each
+    (N, 1, W, 4C) f32.
+
+    Plain-XLA replication of the bwd kernel's ``ring_row`` math: the
+    virtual row above contributes to output row 0 through the khat[2]
+    taps (after rotation), including the corner sub-column scatter —
+    the virtual row's own reflect ring COLUMNS were derived from it in
+    the forward's value-domain column shifts.  Cost: 2 rows × 3 matmuls
+    per image — negligible next to the slab conv."""
+    n, h, w, c4o = gz.shape
+    c4 = khat.shape[-1]
+    c = c4 // 4
+    lane = jnp.arange(c4)
+    subcol0 = (((lane // c) % 2) == 0)[None, None]        # (1, 1, C4)
+    col = jnp.arange(w)[None, :, None]                     # (1, W, 1)
+
+    def ring_grad(gz_row, krow):
+        """gz_row (N, W, C4o), khat row index krow -> (N, W, C4) f32."""
+        g = gz_row.astype(jnp.float32)
+        kr = khat[krow].astype(jnp.float32)                # (3, C4o, C4)
+        zero = jnp.zeros_like(g[:, :1])
+        g_m1 = jnp.concatenate([zero, g[:, :w - 1]], axis=1)
+        g_p1 = jnp.concatenate([g[:, 1:], zero], axis=1)
+        mid = (jnp.einsum("nwc,ck->nwk", g_m1, kr[0])
+               + jnp.einsum("nwc,ck->nwk", g, kr[1])
+               + jnp.einsum("nwc,ck->nwk", g_p1, kr[2]))
+        corner0 = jnp.einsum("nwc,ck->nwk", g[:, 0:1], kr[2])  # (N,1,C4)
+        cornerW = jnp.einsum("nwc,ck->nwk", g[:, w - 1:w], kr[0])
+        mid = mid + jnp.where((col == 1) & subcol0, corner0, 0.0)
+        mid = mid + jnp.where((col == 0) & ~subcol0, corner0, 0.0)
+        mid = mid + jnp.where((col == w - 1) & subcol0, cornerW, 0.0)
+        mid = mid + jnp.where((col == w - 2) & ~subcol0, cornerW, 0.0)
+        return mid
+
+    d_above = ring_grad(gz[:, 0], 2)[:, None]
+    d_below = ring_grad(gz[:, h - 1], 0)[:, None]
+    return d_above, d_below
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def folded_conv_act_halo(alpha, interpret, x_f, folded_kernel, folded_bias,
+                         above, below):
+    """Differentiable fused folded conv for an H-SHARD: the two virtual
+    boundary rows come in as explicit ``above``/``below`` inputs (each
+    (N, 1, W, 4C)) instead of the implicit reflect ring, and the VJP
+    returns their gradients.
+
+    This is the trainable core of spatially sharded folded execution
+    (models/fast_path_spatial.py): the caller builds above/below with
+    ``_halo_rows`` (ppermute from neighbors; reflect ring at the global
+    edges) — all differentiable primitives — so autodiff of the enclosing
+    shard_map routes these cotangents through the ppermute transpose to
+    the neighbor's edge rows, and through ``_row_ring``'s transpose into
+    the reflect-pad adjoint at the global boundary.  The dx returned here
+    therefore carries NO row-ring scatter (``row_rings=False``); the
+    column-ring adjoint stays in-kernel (columns are never sharded)."""
+    rings = jnp.concatenate([above, below], axis=1).astype(x_f.dtype)
+    return fused_folded_conv(x_f, folded_kernel, folded_bias, alpha=alpha,
+                             interpret=interpret, rings=rings)
+
+
+def _folded_conv_act_halo_fwd(alpha, interpret, x_f, folded_kernel,
+                              folded_bias, above, below):
+    y = folded_conv_act_halo(alpha, interpret, x_f, folded_kernel,
+                             folded_bias, above, below)
+    return y, (x_f, folded_kernel, y, above, below)
+
+
+def _folded_conv_act_halo_bwd(alpha, interpret, res, g):
+    x_f, kf, y, above, below = res
+    gz = jnp.where(y > 0, g, g * alpha)
+    khat = jnp.transpose(kf[::-1, ::-1], (0, 1, 3, 2))
+    dx = fused_folded_conv_grad_input(gz, khat, interpret=interpret,
+                                      row_rings=False)
+    d_above, d_below = fused_folded_conv_ring_grads(gz, khat)
+    rings = jnp.concatenate([above, below], axis=1).astype(x_f.dtype)
+    dk, db = fused_folded_conv_grad_weight(x_f, gz, interpret=interpret,
+                                           rings=rings)
+    return (dx, dk.astype(kf.dtype), db.astype(kf.dtype),
+            d_above.astype(above.dtype), d_below.astype(below.dtype))
+
+
+folded_conv_act_halo.defvjp(_folded_conv_act_halo_fwd,
+                            _folded_conv_act_halo_bwd)
 
 
 def fused_folded_conv(x_f: jnp.ndarray, folded_kernel: jnp.ndarray,

@@ -31,6 +31,18 @@ from .folded_conv import _shrink_block_rows
 # numerics — only the tools/hw timing runners may flip it.
 TIMING_STUB = False
 
+# Measurement-only switch: skip the 9 MXU matmuls (acc = a cheap cast of
+# one slab window), keeping DMA + ring selects + epilogue + stores.  The
+# b8 time under this stub bounds the non-MXU share of the kernel — the
+# round-4 bound-localization experiment (VERDICT r3 item 1).  WRONG
+# numerics — only the tools/hw timing runners may flip it.
+STUB_NOMXU = False
+
+# Cross-grid-step DMA pipeline depth (slabs in flight = depth - 1).
+# Default 2 (double buffering); the hw A/B sweeps 3 to test whether slab
+# DMA latency serializes behind compute at depth 2.
+DMA_DEPTH_DEFAULT = 2
+
 
 def quantize_weights(w: jnp.ndarray):
     """(..., Cout) float -> (int8 weights, (Cout,) f32 scales)."""
@@ -47,10 +59,11 @@ def quantize_activations(x: jnp.ndarray, scale):
 
 def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
                  C4: int, out_int8: bool, with_stats: bool = False,
-                 wide_k: bool = False):
+                 wide_k: bool = False, dma_depth: int = 2):
     C = C4 // 4
     BR = block_rows
     total = N * num_blocks
+    D = dma_depth
 
     def kernel(x_hbm, rings_ref, k_ref, scale_ref, o_ref, *rest):
         if with_stats:
@@ -87,18 +100,25 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
             def _():
                 cp(r0 - 1, 0, BR + 2)
 
-        slot = jax.lax.rem(t, 2)
+        slot = jax.lax.rem(t, D)
 
         @pl.when(t == 0)
-        def _():
-            slab_dma(0, 0, 0, "start")
+        def _():  # warm-up: blocks 0..D-2 fetched into slots 0..D-2
+            for j in range(D - 1):
+                # i2 must be TRACED: with a static block index Pallas
+                # statically bounds-checks the slices of the untaken
+                # pl.when branches inside slab_dma (observed on-chip
+                # 2026-08-20: depth-3 warm-up j=1 tripped the middle
+                # branch's r0-1+BR+2 end bound)
+                slab_dma(j, j // num_blocks,
+                         jnp.int32(j % num_blocks), "start")
 
-        n_next = n + (i + 1) // num_blocks
-        i_next = jax.lax.rem(i + 1, num_blocks)
+        t_pre = t + D - 1  # keep D-1 slabs in flight
 
-        @pl.when(t + 1 < total)
+        @pl.when(t_pre < total)
         def _():
-            slab_dma(jax.lax.rem(t + 1, 2), n_next, i_next, "start")
+            slab_dma(jax.lax.rem(t_pre, D), t_pre // num_blocks,
+                     jax.lax.rem(t_pre, num_blocks), "start")
 
         slab_dma(slot, n, i, "wait")
 
@@ -120,7 +140,14 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
 
         c4o = k_ref.shape[-1]
         acc = jnp.zeros((BR * W, c4o), jnp.int32)
-        if wide_k:
+        if STUB_NOMXU:
+            # measurement-only (WRONG numerics): DMA + ring selects +
+            # epilogue + stores without the MXU matmuls — acc comes from
+            # a cheap widening cast of the center window so the slab
+            # values stay live (zeros on channel-changing layers).
+            if C4 == c4o:
+                acc = slab[1:1 + BR].reshape(BR * W, C4).astype(jnp.int32)
+        elif wide_k:
             # v5e's 2x int8 MXU rate feeds two int8 operands per bf16
             # lane slot ALONG K — a K=128 contraction leaves half the
             # int8 throughput idle.  Stack the three column shifts
@@ -212,7 +239,8 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
                          block_rows: int = 16,
                          with_stats: bool = False,
                          interpret: bool = False,
-                         wide_k: bool | None = None):
+                         wide_k: bool | None = None,
+                         dma_depth: int | None = None):
     """Quantized lrelu(folded_reflect_conv(x) + bias).
 
     x_q: (N, H, W, 4C) int8; w_q: (3, 3, 4C, 4Co) int8;
@@ -229,10 +257,14 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
     if wide_k is None:
         wide_k = WIDE_K_DEFAULT
     if wide_k == "auto":
-        wide_k = n >= 4
+        from ...policy import WIDE_K_MIN_BATCH
+        wide_k = n >= WIDE_K_MIN_BATCH
+    if dma_depth is None:
+        dma_depth = DMA_DEPTH_DEFAULT
     block_rows = _shrink_block_rows(h, w, c4, c4o, 1, block_rows,
                                     out_isz=1 if out_int8 else 2,
-                                    extra_slabs=3 if wide_k else 0)
+                                    extra_slabs=(3 if wide_k else 0)
+                                    + (dma_depth - 2))
     num_blocks = h // block_rows
 
     rings = jnp.concatenate([_row_ring(x_q, True), _row_ring(x_q, False)],
@@ -249,7 +281,7 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
         k_spec = pl.BlockSpec((3, 3, c4, c4o), lambda n_, i_: (0, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     kernel = _make_kernel(block_rows, num_blocks, n, h, w, c4, out_int8,
-                          with_stats, wide_k=wide_k)
+                          with_stats, wide_k=wide_k, dma_depth=dma_depth)
     out_dtype = jnp.int8 if out_int8 else jnp.bfloat16
     out_specs = pl.BlockSpec((1, block_rows, w, c4o),
                              lambda n_, i_: (n_, i_, 0, 0),
@@ -278,8 +310,8 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, block_rows + 2, w, c4), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((dma_depth, block_rows + 2, w, c4), jnp.int8),
+            pltpu.SemaphoreType.DMA((dma_depth,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),

@@ -51,18 +51,23 @@ from .train.metrics import logger, save_image
 # Engine: execution-mode resolution, calibration, run_impl construction
 # ---------------------------------------------------------------------------
 
-def resolve_mode(bundle, mode: str) -> str:
+def resolve_mode(bundle, mode: str, batch: int | None = None,
+                 q8_native: bool | None = None) -> str:
     """Resolve ``--mode`` (incl. ``auto``) against the bundle's coverage.
 
-    ``auto`` picks the fastest path this network supports: q8 > folded >
-    standard — but only counts q8 where its Pallas kernels compile
-    natively (on the CPU backend they'd run in interpret mode, orders of
-    magnitude slower than standard)."""
+    ``auto`` picks the measured-fastest path this network supports AT
+    THIS BATCH (the crossover table in ``rpst.policy`` — e.g. ld_adain2
+    serves bf16 at b1 and q8 from b2) — but only counts q8 where its
+    Pallas kernels compile natively (on the CPU backend they'd run in
+    interpret mode, orders of magnitude slower than standard).
+    ``q8_native`` overrides the backend check (tests)."""
     if mode == "auto":
-        q8_native = jax.default_backend() != "cpu"
-        mode = ("q8" if q8_native and bundle.q8_recommended()
+        if q8_native is None:
+            q8_native = jax.default_backend() != "cpu"
+        mode = ("q8" if q8_native and bundle.q8_recommended(batch)
                 else "folded" if bundle.folded_infer() else "standard")
-        logger.info(f"--mode auto resolved to {mode}")
+        logger.info(f"--mode auto resolved to {mode}"
+                    + (f" (batch {batch})" if batch else ""))
     fast_ok = bundle.q8_infer() if mode == "q8" else bundle.folded_infer()
     if mode in ("folded", "q8") and not fast_ok:
         logger.warning(f"--mode {mode} is unsupported for this network/"

@@ -112,6 +112,51 @@ def main():
                                 0.005 * float(jnp.abs(r[2]).max()))):
             check(f"folded_conv_lrelu bwd {nm} b{bs} h{h}", a, b_, atol=tol)
 
+    # halo custom VJP (spatial shard_map TRAINING): grads w.r.t. x, k, b
+    # AND the two virtual boundary rows vs XLA autodiff of the
+    # halo-padded conv (fast_path_spatial._conv_lrelu_halo's XLA branch)
+    from rpst.ops.folded import _pad_cols_ring as _pcr
+    from rpst.ops.pallas.folded_conv import folded_conv_act_halo
+
+    for bs, h in ((1, 64), (2, 32)):
+        xf32 = jnp.asarray(rng.normal(size=(bs, h, 256, 4 * C))
+                           .astype(np.float32))
+        ab32 = jnp.asarray(rng.normal(size=(bs, 1, 256, 4 * C))
+                           .astype(np.float32))
+        be32 = jnp.asarray(rng.normal(size=(bs, 1, 256, 4 * C))
+                           .astype(np.float32))
+        gh = jnp.asarray(rng.normal(size=(bs, h, 256, 4 * C))
+                         .astype(np.float32))
+
+        def halo_xla(x, kf_, bf_, ab, be):
+            xp = jnp.concatenate([ab, x, be], axis=1)
+            y = jax.lax.conv_general_dilated(
+                _pcr(xp), kf_, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bf_
+            return jnp.where(y >= 0, y, 0.2 * y)
+
+        def loss_xla(x, kf_, bf_, ab, be):
+            return jnp.sum(halo_xla(x, kf_, bf_, ab, be)
+                           .astype(jnp.float32) * gh)
+
+        def loss_halo(x, kf_, bf_, ab, be):
+            return jnp.sum(
+                folded_conv_act_halo(0.2, False, x, kf_, bf_, ab, be)
+                .astype(jnp.float32) * gh)
+
+        args = (xf32.astype(jnp.bfloat16), kf, bf,
+                ab32.astype(jnp.bfloat16), be32.astype(jnp.bfloat16))
+        r = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4)))(*args)
+        f = jax.jit(jax.grad(loss_halo, argnums=(0, 1, 2, 3, 4)))(*args)
+        for nm, a, b_, tol in (
+                ("dx", f[0], r[0], 0.25),
+                ("dk", f[1], r[1], 0.005 * float(jnp.abs(r[1]).max())),
+                ("db", f[2], r[2], 0.005 * float(jnp.abs(r[2]).max())),
+                ("dabove", f[3], r[3], 0.25),
+                ("dbelow", f[4], r[4], 0.25)):
+            check(f"folded_conv_act_halo bwd {nm} b{bs} h{h}", a, b_,
+                  atol=tol)
+
     # int8 kernel vs emulated integer reference
     w_q, w_scale = quantize_weights(kf_f32)
     x_scale = 0.02
@@ -149,6 +194,11 @@ def main():
         wide = jax.jit(lambda x_q: fused_folded_conv_q8(
             x_q, w_q, sc, out_int8=False, wide_k=True))(x_q)
         check(f"fused_folded_conv_q8 wideK b{bs} h{h}", wide, got, atol=0.0)
+
+        # triple-buffered slab DMA must be BIT-exact vs depth 2
+        d3 = jax.jit(lambda x_q: fused_folded_conv_q8(
+            x_q, w_q, sc, out_int8=False, dma_depth=3))(x_q)
+        check(f"fused_folded_conv_q8 dma3 b{bs} h{h}", d3, got, atol=0.0)
 
     # standard-layout int8 conv (wide channels) vs emulated int reference
     from rpst.ops.pallas.conv2d_q8 import fused_conv2d_q8

@@ -73,19 +73,30 @@ def main():
             (output / sub).mkdir(exist_ok=True, parents=True)
     writer = MetricWriter(output) if main_proc else None
 
-    # Mosaic (Pallas) custom calls carry no SPMD partitioning rule: under
-    # a >1-device mesh the partitioner cannot split them, so the folded
-    # train path must take the XLA ring conv (which partitions fine) —
-    # the kernels remain the single-chip winner.
+    # Mosaic (Pallas) custom calls carry no SPMD partitioning rule, so a
+    # >1-device mesh can't GSPMD-partition the fused folded kernels.  The
+    # flagship folded config instead runs them PER SHARD inside one
+    # shard_map (halo exchange + psum'd stats in fwd AND bwd —
+    # models/fast_path_spatial.py, selected by make_sharded_train_step);
+    # any other folded config falls back to the XLA ring conv, which
+    # partitions fine.
     n_mesh_dev = (int(np.prod(list(cfg.mesh_shape.values())))
                   if cfg.mesh_shape
                   else jax.device_count() if n_proc > 1 else 1)
-    if n_mesh_dev > 1 and cfg.get("folded_train_pallas", False):
-        cfg = cfg.replace(folded_train_pallas=False)
-        logger.info("Multi-device mesh: folded training uses the XLA ring "
-                    "conv path (Pallas kernels don't SPMD-partition)")
-
     bundle = build_model(cfg)
+    if n_mesh_dev > 1 and cfg.get("folded_train_pallas", False):
+        axes = set(cfg.mesh_shape) if cfg.mesh_shape else {"data"}
+        if (bundle.network == "multi_adain" and bundle.folded_exec()
+                and axes <= {"data", "spatial"}):
+            logger.info("Multi-device mesh: folded training runs the "
+                        "fused Pallas kernels per shard via shard_map "
+                        "(adjoint halo exchange in the backward)")
+        else:
+            cfg = cfg.replace(folded_train_pallas=False)
+            bundle = build_model(cfg)
+            logger.info("Multi-device mesh: folded training uses the XLA "
+                        "ring conv path (Pallas kernels don't "
+                        "SPMD-partition for this config)")
     if cfg.vgg and Path(cfg.vgg).exists():
         _, vgg_vars = load_vgg_params(cfg.vgg, num_stages=bundle.vgg_stages)
         logger.info(f"Loaded VGG weights from {cfg.vgg}")
@@ -144,6 +155,26 @@ def main():
             logger.info(f"Loaded checkpoint from {ckpt} (step {begin})")
         else:
             logger.warning(f"resume requested but no checkpoint at {ckpt}")
+
+    if cfg.get("train_q8_targets", False):
+        # int8 no-grad VGG loss targets: calibrate activation scales once
+        # on a representative batch (the VGG is frozen, so the scales
+        # hold for the whole run); only the folded families consume them
+        # (ModelBundle.loss), and the spatial shard_map Pallas train path
+        # keeps bf16 targets (its loss runs inside shard_map).
+        if bundle.folded_infer() and cfg.img_size % 8 == 0:
+            from rpst.models.fast_path_q8 import calibrate_vgg_targets_q8
+            calib_c = next(content_iter)
+            calib_c = jnp.asarray(calib_c[0] if seg_training else calib_c)
+            calib_s = jnp.asarray(next(style_iter))
+            bundle.q8_target_scales = calibrate_vgg_targets_q8(
+                vgg_vars, calib_c, calib_s)
+            logger.info("train_q8_targets: calibrated "
+                        f"{len(bundle.q8_target_scales['act_scales'])} "
+                        "VGG target scales (int8 no-grad loss targets)")
+        else:
+            logger.warning("train_q8_targets ignored: needs a folded "
+                           "family config and img_size % 8 == 0")
 
     mesh, spatial, state_sharding = None, False, None
     if cfg.mesh_shape or n_proc > 1:
