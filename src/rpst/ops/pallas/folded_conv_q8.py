@@ -43,6 +43,18 @@ STUB_NOMXU = False
 # DMA latency serializes behind compute at depth 2.
 DMA_DEPTH_DEFAULT = 2
 
+# Ring rows via DMA instead of value-domain splices.  The 2026-08-20
+# bound hunt measured ~85% of the kernel's time OUTSIDE the MXU matmuls
+# (nomxu stub +17.6%, dma3 +1%, epilogue +5.8%) — among the per-step VPU
+# costs are TWO full-slab ``jnp.where`` ring splices executed on EVERY
+# grid step though they only matter on the 2 boundary blocks.  With
+# ``ring_dma`` the rings input stays in HBM and boundary blocks issue a
+# second 1-row async copy into the scratch halo slot — a DMA write, NOT
+# a kernel vector store (the round-2 mis-lowering class), so the slab
+# comes out of scratch ready and the splices disappear.  Exactness is
+# gated on-chip (hw_kernel_check.py ring_dma rows).
+RING_DMA_DEFAULT = False
+
 
 def quantize_weights(w: jnp.ndarray):
     """(..., Cout) float -> (int8 weights, (Cout,) f32 scales)."""
@@ -59,17 +71,25 @@ def quantize_activations(x: jnp.ndarray, scale):
 
 def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
                  C4: int, out_int8: bool, with_stats: bool = False,
-                 wide_k: bool = False, dma_depth: int = 2):
+                 wide_k: bool = False, dma_depth: int = 2,
+                 ring_dma: bool = False):
     C = C4 // 4
     BR = block_rows
     total = N * num_blocks
     D = dma_depth
 
     def kernel(x_hbm, rings_ref, k_ref, scale_ref, o_ref, *rest):
-        if with_stats:
+        if ring_dma:
+            if with_stats:
+                s1_ref, s2_ref, scratch, sem, rsem = rest
+            else:
+                scratch, sem, rsem = rest
+        elif with_stats:
             s1_ref, s2_ref, scratch, sem = rest
+            rsem = None
         else:
             scratch, sem = rest
+            rsem = None
         n = pl.program_id(0)
         i = pl.program_id(1)
         t = n * num_blocks + i
@@ -84,17 +104,34 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
                     sem.at[slot])
                 c.start() if action == "start" else c.wait()
 
+            def ring_cp(ring_row, dst_row):
+                # halo row straight from the rings HBM array into the
+                # scratch slot's boundary row — a DMA write, not a kernel
+                # vector store (see module history / RING_DMA_DEFAULT)
+                c = pltpu.make_async_copy(
+                    rings_ref.at[n2, pl.ds(ring_row, 1)],
+                    scratch.at[slot, pl.ds(dst_row, 1)],
+                    rsem.at[slot])
+                c.start() if action == "start" else c.wait()
+
             if num_blocks == 1:
                 cp(0, 1, BR)
+                if ring_dma:
+                    ring_cp(0, 0)
+                    ring_cp(1, BR + 1)
                 return
 
             @pl.when(i2 == 0)
             def _():
                 cp(0, 1, BR + 1)
+                if ring_dma:
+                    ring_cp(0, 0)
 
             @pl.when(i2 == num_blocks - 1)
             def _():
                 cp(r0 - 1, 0, BR + 1)
+                if ring_dma:
+                    ring_cp(1, BR + 1)
 
             @pl.when(jnp.logical_and(i2 > 0, i2 < num_blocks - 1))
             def _():
@@ -124,12 +161,16 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
 
         slab = scratch[slot]  # (BR+2, W, C4) int8; boundary halo unset
 
-        # ring rows spliced in the value domain (never stored to scratch)
-        row = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1, 1), 0)
-        top = jnp.where(jnp.logical_and(i == 0, row == 0),
-                        rings_ref[0, 0][None], slab)
-        slab = jnp.where(jnp.logical_and(i == num_blocks - 1, row == BR + 1),
-                         rings_ref[0, 1][None], top)
+        if not ring_dma:
+            # ring rows spliced in the value domain (never stored to
+            # scratch) — two full-slab selects on EVERY grid step; the
+            # ring_dma variant avoids them (boundary rows arrive by DMA)
+            row = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1, 1), 0)
+            top = jnp.where(jnp.logical_and(i == 0, row == 0),
+                            rings_ref[0, 0][None], slab)
+            slab = jnp.where(
+                jnp.logical_and(i == num_blocks - 1, row == BR + 1),
+                rings_ref[0, 1][None], top)
 
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1, C4), 2)
         subcol0 = ((lane1 // C) % 2) == 0
@@ -240,7 +281,8 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
                          with_stats: bool = False,
                          interpret: bool = False,
                          wide_k: bool | None = None,
-                         dma_depth: int | None = None):
+                         dma_depth: int | None = None,
+                         ring_dma: bool | None = None):
     """Quantized lrelu(folded_reflect_conv(x) + bias).
 
     x_q: (N, H, W, 4C) int8; w_q: (3, 3, 4C, 4Co) int8;
@@ -261,6 +303,8 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
         wide_k = n >= WIDE_K_MIN_BATCH
     if dma_depth is None:
         dma_depth = DMA_DEPTH_DEFAULT
+    if ring_dma is None:
+        ring_dma = RING_DMA_DEFAULT
     block_rows = _shrink_block_rows(h, w, c4, c4o, 1, block_rows,
                                     out_isz=1 if out_int8 else 2,
                                     extra_slabs=(3 if wide_k else 0)
@@ -281,7 +325,8 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
         k_spec = pl.BlockSpec((3, 3, c4, c4o), lambda n_, i_: (0, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     kernel = _make_kernel(block_rows, num_blocks, n, h, w, c4, out_int8,
-                          with_stats, wide_k=wide_k, dma_depth=dma_depth)
+                          with_stats, wide_k=wide_k, dma_depth=dma_depth,
+                          ring_dma=ring_dma)
     out_dtype = jnp.int8 if out_int8 else jnp.bfloat16
     out_specs = pl.BlockSpec((1, block_rows, w, c4o),
                              lambda n_, i_: (n_, i_, 0, 0),
@@ -296,23 +341,29 @@ def fused_folded_conv_q8(x_q: jnp.ndarray, w_q: jnp.ndarray,
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((n, 1, c4o), jnp.float32),
                      jax.ShapeDtypeStruct((n, 1, c4o), jnp.float32))
+    rings_spec = (pl.BlockSpec(memory_space=pl.ANY) if ring_dma
+                  else pl.BlockSpec((1, 2, w, c4),
+                                    lambda n_, i_: (n_, 0, 0, 0),
+                                    memory_space=pltpu.VMEM))
+    scratch_shapes = [
+        pltpu.VMEM((dma_depth, block_rows + 2, w, c4), jnp.int8),
+        pltpu.SemaphoreType.DMA((dma_depth,)),
+    ]
+    if ring_dma:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((dma_depth,)))
     res = pl.pallas_call(
         kernel,
         grid=(n, num_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 2, w, c4), lambda n_, i_: (n_, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            rings_spec,
             k_spec,
             pl.BlockSpec((3, c4o), lambda n_, i_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((dma_depth, block_rows + 2, w, c4), jnp.int8),
-            pltpu.SemaphoreType.DMA((dma_depth,)),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,

@@ -91,3 +91,9 @@ LD_PALLAS_MIN_2N = 4
 # -> gated to batch >= 4 for variant 2 (v1 keeps it at every batch;
 # v3-v5 measured negative and stay separate-encode).
 LD2_2N_ENCODE_MIN_BATCH = 4
+
+# Int8 no-grad VGG loss targets (train_q8_targets): 512px measured
+# b8 60.6 -> 65.1 img/s (+7.5%), b4 +1.7% (noise), b1 -11% (the
+# small-batch Mosaic/XLA engine mix) — bench.py --train 2026-08-20.
+# Applied only at batch >= this when the knob is on.
+TRAIN_Q8_TARGETS_MIN_BATCH = 4

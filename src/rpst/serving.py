@@ -311,8 +311,38 @@ class DynamicBatcher:
 
     def _loop(self):
         # a batch already collected when close() lands still serves;
-        # never-collected requests are failed by close()'s drain
+        # never-collected requests are failed by close()'s drain.
+        # DOUBLE-BUFFERED: batch t is dispatched asynchronously (JAX
+        # async dispatch) and fetched only after batch t+1 has been
+        # collected/stacked/dispatched — host-side stack + scatter
+        # overlap device compute, so sustained throughput approaches
+        # the device rate instead of host+device serialized
+        # (identity-runner host cost measured 5.7 ms/batch-8 at 512px
+        # on one core — comparable to the 15 ms device batch).
+        pending = None  # (futs, device_out, t0)
+
+        def flush(p):
+            futs, dev_out, t0 = p
+            try:
+                out = np.asarray(dev_out)  # blocks until device done
+                ms = (time.perf_counter() - t0) * 1e3
+                with self._stats_lock:
+                    self.served += len(futs)
+                    self.batches += 1
+                    self.batch_ms.append(ms)
+                for b, fut in enumerate(futs):
+                    fut.set_result(out[b])
+            except Exception as e:  # fail THIS batch, keep serving
+                for fut in futs:
+                    if not fut.done():
+                        fut.set_exception(e)
+
         while not self._stop.is_set():
+            # opportunistic: nothing queued -> drain the in-flight batch
+            if pending is not None and self._q.empty():
+                flush(pending)
+                pending = None
+                continue
             items = self._collect()
             if not items:
                 continue
@@ -327,19 +357,18 @@ class DynamicBatcher:
                         [content, content[-1:].repeat(pad, 0)])
                     style = np.concatenate(
                         [style, style[-1:].repeat(pad, 0)])
-                out = np.asarray(self.run(jnp.asarray(content),
-                                          jnp.asarray(style)))
-                ms = (time.perf_counter() - t0) * 1e3
-                with self._stats_lock:
-                    self.served += len(items)
-                    self.batches += 1
-                    self.batch_ms.append(ms)
-                for b, fut in enumerate(futs):
-                    fut.set_result(out[b])
-            except Exception as e:  # fail THIS batch, keep serving
+                dev_out = self.run(jnp.asarray(content),
+                                   jnp.asarray(style))  # async dispatch
+            except Exception as e:
                 for fut in futs:
                     if not fut.done():
                         fut.set_exception(e)
+                continue
+            if pending is not None:
+                flush(pending)
+            pending = (futs, dev_out, t0)
+        if pending is not None:
+            flush(pending)
 
 
 # ---------------------------------------------------------------------------

@@ -24,7 +24,7 @@ from rpst.nn.vgg_folded import (perceptual_rp_losses_folded,
 pytestmark = pytest.mark.slow
 
 
-def _setup(rng, batch=2, img=32):
+def _setup(rng, batch=4, img=32):
     cfg = load_config(dict(network="multi_adain", enc_stack_way="constant",
                            rp_blocks=3, hidden_dim=16, img_size=img,
                            inception_num=0, attention="none",
@@ -131,6 +131,21 @@ def test_bundle_loss_dispatches_q8_targets(rng):
         params, opt_state, t = step(params, opt_state)
         losses.append(float(t))
     assert losses[-1] < losses[0]
+
+
+def test_small_batch_stays_bf16(rng):
+    """batch < TRAIN_Q8_TARGETS_MIN_BATCH keeps bf16 targets (the
+    measured b1 regression — policy gate)."""
+    bundle, vgg_vars, params, content, style = _setup(rng, batch=2)
+    bundle.q8_target_scales = calibrate_vgg_targets_q8(vgg_vars, content,
+                                                       style)
+    t_gated, _ = bundle.loss({"params": params}, vgg_vars, content,
+                             style, train=True)
+    cfg_off = bundle.cfg.replace(train_q8_targets=False)
+    bundle_off = build_model(cfg_off)
+    t_off, _ = bundle_off.loss({"params": params}, vgg_vars, content,
+                               style, train=True)
+    np.testing.assert_allclose(float(t_gated), float(t_off), rtol=1e-6)
 
 
 def test_bundle_loss_without_scales_stays_bf16(rng):

@@ -53,6 +53,10 @@ def run(tag):
 
 base = run("base     (depth2)")
 
+q8mod.RING_DMA_DEFAULT = True
+ringd = run("ring_dma (halo rows by DMA, no slab splices)")
+q8mod.RING_DMA_DEFAULT = False
+
 q8mod.DMA_DEPTH_DEFAULT = 3
 dma3 = run("dma3     (depth3)")
 q8mod.DMA_DEPTH_DEFAULT = 2
@@ -65,6 +69,31 @@ q8mod.TIMING_STUB = True
 epi = run("epilogue (cast-only epilogue — WRONG numerics)")
 q8mod.TIMING_STUB = False
 
-print(f"summary: base {base:.1f} img/s; dma3 {100*(dma3/base-1):+.1f}%; "
+# --- block-rows sweep: per-grid-step fixed cost is the prime suspect
+# (nomxu floor ~85% of kernel time; HBM bandwidth alone accounts for
+# ~17%).  Force BR by bypassing the VMEM-guard shrink — Mosaic itself
+# rejects blocks that truly don't fit (compile failure is an answer).
+_orig_shrink = q8mod._shrink_block_rows
+for br, wk in ((32, False), (32, True), (64, False), (8, True)):
+    q8mod._shrink_block_rows = lambda h, w, c4, c4o, isz, block_rows, \
+        out_isz=None, min_rows=8, extra_slabs=0, _br=br: \
+        (_br if h % _br == 0 else _orig_shrink(h, w, c4, c4o, isz,
+                                               block_rows,
+                                               out_isz=out_isz,
+                                               min_rows=min_rows,
+                                               extra_slabs=extra_slabs))
+    q8mod.WIDE_K_DEFAULT = wk
+    try:
+        run(f"BR={br} wide_k={wk}")
+    except Exception as e:  # Mosaic VMEM rejection is a data point
+        print(f"BR={br} wide_k={wk}: {type(e).__name__}: {str(e)[:120]}",
+              flush=True)
+        jax.clear_caches()
+q8mod._shrink_block_rows = _orig_shrink
+q8mod.WIDE_K_DEFAULT = "auto"
+
+print(f"summary: base {base:.1f} img/s; "
+      f"ring_dma {100*(ringd/base-1):+.1f}%; "
+      f"dma3 {100*(dma3/base-1):+.1f}%; "
       f"nomxu {100*(nomxu/base-1):+.1f}%; "
       f"epilogue-stub {100*(epi/base-1):+.1f}%", flush=True)

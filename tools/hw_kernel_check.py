@@ -200,6 +200,18 @@ def main():
             x_q, w_q, sc, out_int8=False, dma_depth=3))(x_q)
         check(f"fused_folded_conv_q8 dma3 b{bs} h{h}", d3, got, atol=0.0)
 
+        # ring rows via DMA (halo slots written by async copy instead of
+        # value-domain splices) must be BIT-exact — incl. with stats
+        rd = jax.jit(lambda x_q: fused_folded_conv_q8(
+            x_q, w_q, sc, out_int8=False, ring_dma=True))(x_q)
+        check(f"fused_folded_conv_q8 ring_dma b{bs} h{h}", rd, got,
+              atol=0.0)
+        _, rs1d, rs2d = jax.jit(lambda x_q: fused_folded_conv_q8(
+            x_q, w_q, sc, out_int8=False, with_stats=True,
+            ring_dma=True))(x_q)
+        check(f"fused_folded_conv_q8 ring_dma stats b{bs} h{h}", rs1d, s1,
+              atol=0.0)
+
     # standard-layout int8 conv (wide channels) vs emulated int reference
     from rpst.ops.pallas.conv2d_q8 import fused_conv2d_q8
 
