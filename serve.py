@@ -6,8 +6,11 @@ The reference has no serving story (training-time eval dumps only); this
 driver targets deployment: checkpoint load once, jit once, stream batches
 at a fixed image size, pick the execution strategy by flag:
 
-  * ``--mode q8``      int8 PTQ (fastest; 2x MXU rate on v5e; calibrates
-                       on the first batch, ~51-59 dB PSNR vs bf16),
+  * ``--mode q8``      int8 PTQ (fastest; calibrates on the first batch,
+                       ~51-59 dB PSNR vs bf16; throughput mode pairs it
+                       with ``--batch 32/48`` — per-dispatch costs keep
+                       amortizing past 8: 532 img/s b8 -> 718 b48 at
+                       512px, BASELINE.md),
   * ``--mode folded``  exact bf16 space-to-depth execution,
   * ``--mode standard``the plain model path (any network).
 
@@ -203,8 +206,12 @@ def main():
     style_img = jnp.asarray(styles[0][1])[None]
     scales = None
     if mode == "q8":
+        # per-tensor absmax needs few images; calibrating on a large
+        # serving batch (--batch 32/48 throughput mode) would make
+        # calibration peak memory exceed serving peak memory
         calib = jnp.asarray(
-            np.stack([img for _, img in contents[:args.batch]]))
+            np.stack([img for _, img in
+                      contents[:min(args.batch, 8)]]))
         calib_style = jnp.broadcast_to(style_img, calib.shape)
         scales = calibrate_scales(bundle, cfg, variables, vgg_vars,
                                   calib, calib_style)

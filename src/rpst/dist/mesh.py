@@ -160,16 +160,18 @@ def shard_params_tp(tree, mesh: Mesh, min_channels: int = 32):
 
 
 def spatial_folded_train_ok(bundle, mesh: Mesh) -> bool:
-    """True when the flagship folded train step can run its fused Pallas
-    kernels per shard via shard_map on this mesh: halo exchange + psum'd
-    stats in forward AND backward (models/fast_path_spatial.py).  Needs
-    replicated params (no ``model``/TP axis) and the folded flagship
-    config; any other folded configuration on a >1-device mesh must fall
-    back to the XLA ring conv (Mosaic custom calls carry no SPMD
-    partitioning rule)."""
+    """True when the folded train step can run its fused Pallas kernels
+    per shard via shard_map on this mesh: halo exchange + psum'd stats
+    in forward AND backward (models/fast_path_spatial.py) — the flagship
+    multi_adain and ccam (whose extra state is just the registered scale
+    params; sel's train-mode BatchNorm state and mst's graph-cut host
+    callback keep those two on the XLA path).  Needs replicated params
+    (no ``model``/TP axis); any other folded configuration on a
+    >1-device mesh falls back to the XLA ring conv (Mosaic custom calls
+    carry no SPMD partitioning rule)."""
     spatial = dict(mesh.shape).get("spatial", 1)
-    return (bundle.network == "multi_adain"
-            and bundle.folded_exec()
+    return (bundle.network in ("multi_adain", "ccam")
+            and bundle.folded_infer()
             and bool(bundle.cfg.get("folded_train_pallas", False))
             and "model" not in mesh.axis_names
             # three VGG pools + >= 2 relu4_1 rows per spatial shard
@@ -201,14 +203,22 @@ def make_sharded_train_step(bundle, tx, mesh: Mesh, spatial: bool = False,
 
     def step_fn(state, vgg_vars, content, style, content_label=None):
         if use_spatial_pallas:
-            from ..models.fast_path_spatial import (
-                loss_and_grads_multi_adain_folded_spatial)
+            from ..models import fast_path_spatial as fps
             cfg = bundle.cfg
-            _, parts, grads = loss_and_grads_multi_adain_folded_spatial(
-                state.params, vgg_vars["params"], content, style, mesh,
-                content_weight=cfg.content_weight,
-                style_weight=cfg.style_weight,
-                dtype=bundle._folded_dtype())
+            if bundle.network == "ccam":
+                _, parts, grads = fps.loss_and_grads_ccam_folded_spatial(
+                    state.params, vgg_vars["params"], content, style,
+                    mesh, stylized_layers=cfg.stylized_layers,
+                    content_weight=cfg.content_weight,
+                    style_weight=cfg.style_weight,
+                    dtype=bundle._folded_dtype())
+            else:
+                _, parts, grads = \
+                    fps.loss_and_grads_multi_adain_folded_spatial(
+                        state.params, vgg_vars["params"], content, style,
+                        mesh, content_weight=cfg.content_weight,
+                        style_weight=cfg.style_weight,
+                        dtype=bundle._folded_dtype())
             muts = {}
         else:
             def loss_fn(params):

@@ -347,43 +347,53 @@ def stylize_ccam_folded_spatial(variables, content, style, mesh: Mesh,
     n_shards = mesh.shape["spatial"]
 
     def shard_fn(variables, c_l, s_l):
-        params = variables["params"]
-        enc = _folded_blocks(params["ms"]["rp_shared_encoder"])
-        dec = _folded_blocks(params["ms"]["rp_decoder"])
-        conv = lambda x, k, b: _conv_lrelu_halo(
-            x, k.astype(dtype), b.astype(dtype), "spatial", n_shards,
-            interpret)
-        adain = partial(_folded_adain_spatial, axis="spatial",
-                        n_shards=n_shards)
-        ccam = partial(_ccam_spatial, axis="spatial", n_shards=n_shards)
-        scale = lambda i: params[f"ccam_{i}"]["scale"].astype(dtype)
-
-        def encode(img):
-            x = fold(img.astype(dtype))
-            feats = []
-            for k, b in enc:
-                x = conv(x, k, b)
-                feats.append(x)
-            return feats
-
-        c_feats = encode(c_l)
-        s_feats = encode(s_l)
-        stylized = adain(c_feats[-1], s_feats[-1])
-        att_res = ccam(c_feats[-1], s_feats[-1], scale(0))
-        k, b = dec[0]
-        stylized = conv(stylized + att_res, k, b)
-        pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
-        for i, (_, sf) in enumerate(pairs):
-            k, b = dec[i + 1]
-            if i + 1 < stylized_layers:
-                stylized = adain(stylized, sf)
-                att_res = ccam(stylized, sf, scale(i + 1))
-                stylized = conv(stylized + att_res, k, b)
-            else:
-                stylized = conv(stylized, k, b)
-        return unfold(stylized).astype(c_l.dtype)
+        return _ccam_shard_body(variables, c_l, s_l, n_shards,
+                                stylized_layers, dtype, interpret)
 
     return _run_spatial(mesh, shard_fn, variables, content, style)
+
+
+def _ccam_shard_body(variables, c_l, s_l, n_shards: int,
+                     stylized_layers: int, dtype, interpret: bool):
+    """Per-shard folded CCAM stylize — shared by the serving entry above
+    and the trainable spatial loss (differentiable: the CCAM inputs are
+    stop-gradient per the reference's detach, the ``scale`` params and
+    convs carry gradients)."""
+    params = variables["params"]
+    enc = _folded_blocks(params["ms"]["rp_shared_encoder"])
+    dec = _folded_blocks(params["ms"]["rp_decoder"])
+    conv = lambda x, k, b: _conv_lrelu_halo(
+        x, k.astype(dtype), b.astype(dtype), "spatial", n_shards,
+        interpret)
+    adain = partial(_folded_adain_spatial, axis="spatial",
+                    n_shards=n_shards)
+    ccam = partial(_ccam_spatial, axis="spatial", n_shards=n_shards)
+    scale = lambda i: params[f"ccam_{i}"]["scale"].astype(dtype)
+
+    def encode(img):
+        x = fold(img.astype(dtype))
+        feats = []
+        for k, b in enc:
+            x = conv(x, k, b)
+            feats.append(x)
+        return feats
+
+    c_feats = encode(c_l)
+    s_feats = encode(s_l)
+    stylized = adain(c_feats[-1], s_feats[-1])
+    att_res = ccam(c_feats[-1], s_feats[-1], scale(0))
+    k, b = dec[0]
+    stylized = conv(stylized + att_res, k, b)
+    pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+    for i, (_, sf) in enumerate(pairs):
+        k, b = dec[i + 1]
+        if i + 1 < stylized_layers:
+            stylized = adain(stylized, sf)
+            att_res = ccam(stylized, sf, scale(i + 1))
+            stylized = conv(stylized + att_res, k, b)
+        else:
+            stylized = conv(stylized, k, b)
+    return unfold(stylized).astype(c_l.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -679,25 +689,12 @@ def _perceptual_rp_losses_spatial(vgg_params, stylized_l, style_l,
     return {"style_loss": loss_s, "content_loss": loss_c}
 
 
-def loss_and_grads_multi_adain_folded_spatial(
-        params, vgg_params, content, style, mesh: Mesh, *,
-        content_weight: float, style_weight: float, dtype=jnp.bfloat16,
-        interpret: bool | None = None):
-    """(total, parts, grads) for the flagship folded train step over a
-    ``{data?, spatial}`` mesh, in ONE shard_map — forward AND backward run
-    the fused Pallas kernels per shard (VERDICT r3 item 3: multi-chip
-    training no longer forfeits the fused-kernel +44%).
-
-    Forward: ``_multi_adain_shard_body`` (ppermute halo rows, psum'd
-    AdaIN stats) + the spatial perceptual loss above.  Backward: autodiff
-    of the per-shard trace — ``folded_conv_act_halo``'s VJP returns the
-    virtual-row cotangents, the ppermute/``_row_ring`` transposes ship
-    them to the neighbor's edge rows / fold them into the reflect-pad
-    adjoint, and the returned per-shard parameter grads psum over every
-    mesh axis.  Gradient equality vs the single-device fused path is
-    pinned in tests/test_spatial_train.py."""
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+def _spatial_loss_and_grads(body, tree, vgg_params, content, style,
+                            mesh: Mesh, *, content_weight: float,
+                            style_weight: float, dtype, interpret):
+    """Shared shard_map loss+grads machinery for the trainable spatial
+    folded families.  ``body(tree, c_l, s_l, n_shards) -> stylized_l``
+    is the differentiable per-shard forward."""
     axis = "spatial"
     has_spatial = axis in mesh.axis_names
     n_shards = mesh.shape[axis] if has_spatial else 1
@@ -711,10 +708,9 @@ def loss_and_grads_multi_adain_folded_spatial(
                  if a is not None and s > 1)
     img_spec = P(data_axis, axis if has_spatial else None)
 
-    def shard_fn(params, vgg_params, c_l, s_l):
-        def local_loss(p):
-            stylized = _multi_adain_shard_body(p, c_l, s_l, n_shards,
-                                               dtype, interpret)
+    def shard_fn(tree, vgg_params, c_l, s_l):
+        def local_loss(t):
+            stylized = body(t, c_l, s_l, n_shards)
             parts = _perceptual_rp_losses_spatial(
                 vgg_params, stylized, s_l, c_l, axis, n_shards,
                 data_axis, data_shards, dtype)
@@ -723,7 +719,7 @@ def loss_and_grads_multi_adain_folded_spatial(
             return total, parts
 
         (total, parts), grads = jax.value_and_grad(
-            local_loss, has_aux=True)(params)
+            local_loss, has_aux=True)(tree)
         if axes:
             # Each shard seeds cotangent 1 on its OWN (replicated) loss
             # copy and psum's adjoint is psum, so summing per-shard grads
@@ -738,5 +734,58 @@ def loss_and_grads_multi_adain_folded_spatial(
     return jax.shard_map(shard_fn, mesh=mesh,
                          in_specs=(P(), P(), img_spec, img_spec),
                          out_specs=(P(), P(), P()),
-                         check_vma=False)(params, vgg_params, content,
+                         check_vma=False)(tree, vgg_params, content,
                                           style)
+
+
+def loss_and_grads_multi_adain_folded_spatial(
+        params, vgg_params, content, style, mesh: Mesh, *,
+        content_weight: float, style_weight: float, dtype=jnp.bfloat16,
+        interpret: bool | None = None):
+    """(total, parts, grads) for the flagship folded train step over a
+    ``{data?, spatial}`` mesh, in ONE shard_map — forward AND backward run
+    the fused Pallas kernels per shard (VERDICT r3 item 3: multi-chip
+    training no longer forfeits the fused-kernel +44%).
+
+    Forward: ``_multi_adain_shard_body`` (ppermute halo rows, psum'd
+    AdaIN stats) + the spatial perceptual loss above.  Backward: autodiff
+    of the per-shard trace — ``folded_conv_act_halo``'s VJP returns the
+    virtual-row cotangents, the ppermute/``_row_ring`` transposes ship
+    them to the neighbor's edge rows / fold them into the reflect-pad
+    adjoint, and the returned per-shard parameter grads pmean over every
+    mesh axis.  Gradient equality vs the single-device fused path is
+    pinned in tests/test_spatial_train.py."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def body(p, c_l, s_l, n_shards):
+        return _multi_adain_shard_body(p, c_l, s_l, n_shards, dtype,
+                                       interpret)
+
+    return _spatial_loss_and_grads(
+        body, params, vgg_params, content, style, mesh,
+        content_weight=content_weight, style_weight=style_weight,
+        dtype=dtype, interpret=interpret)
+
+
+def loss_and_grads_ccam_folded_spatial(
+        params, vgg_params, content, style, mesh: Mesh, *,
+        stylized_layers: int, content_weight: float, style_weight: float,
+        dtype=jnp.bfloat16, interpret: bool | None = None):
+    """CCAMRP spatial folded train step (reference adain_rp.py:348-422):
+    same machinery as the flagship with psum'd cross-channel energies in
+    the forward; the CCAM inputs are stop-gradient (the reference's
+    detach), so gradients flow to the convs and the registered ``scale``
+    params only (no batch-coupled state under the folded gate).
+    Gradient equality pinned in test_spatial_train.py."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def body(p, c_l, s_l, n_shards):
+        return _ccam_shard_body({"params": p}, c_l, s_l, n_shards,
+                                stylized_layers, dtype, interpret)
+
+    return _spatial_loss_and_grads(
+        body, params, vgg_params, content, style, mesh,
+        content_weight=content_weight, style_weight=style_weight,
+        dtype=dtype, interpret=interpret)

@@ -158,6 +158,53 @@ def test_sharded_train_step_uses_spatial_pallas(rng):
     assert losses[-1] < losses[0]
 
 
+def test_ccam_spatial_grads_match_single_device(rng):
+    """CCAM spatial folded training (psum'd energies, stop-gradient
+    attention inputs, trainable scale params): gradient equality vs the
+    single-device folded loss path."""
+    from rpst.models.fast_path_spatial import (
+        loss_and_grads_ccam_folded_spatial)
+
+    cfg = load_config(dict(network="ccam", enc_stack_way="constant",
+                           rp_blocks=3, hidden_dim=32, img_size=32,
+                           inception_num=0, attention="none",
+                           stylized_layers=3, exec_strategy="folded",
+                           folded_train_pallas=True,
+                           compute_dtype="float32",
+                           content_weight=1.0, style_weight=2.0))
+    bundle = build_model(cfg)
+    content = jnp.asarray(rng.random((2, 32, 32, 3), np.float32))
+    style = jnp.asarray(rng.random((2, 32, 32, 3), np.float32))
+    key = jax.random.PRNGKey(0)
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+    params = variables["params"]
+    # non-zero CCAM scales so their gradient paths are live
+    for i in range(3):
+        if f"ccam_{i}" in params:
+            params[f"ccam_{i}"]["scale"] = jnp.full((1,), 0.3)
+
+    def loss_fn(p):
+        total, (parts, _) = bundle.loss({"params": p}, vgg_vars, content,
+                                        style, train=True)
+        return total, parts
+
+    (_, ref_parts), ref_grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+
+    mesh = make_mesh({"spatial": 2}, jax.devices()[:2])
+    total, parts, grads = jax.jit(
+        lambda p, v, c, s: loss_and_grads_ccam_folded_spatial(
+            p, v, c, s, mesh, stylized_layers=3, content_weight=1.0,
+            style_weight=2.0, dtype=jnp.float32, interpret=True))(
+        params, vgg_vars["params"], content, style)
+    np.testing.assert_allclose(float(total),
+                               float(ref_parts["total_loss"]), rtol=1e-4)
+    _tree_allclose(grads, ref_grads, atol=2e-4)
+    # the registered scale params get non-zero gradients
+    assert float(jnp.abs(grads["ccam_0"]["scale"]).max()) > 0
+
+
 def test_spatial_folded_train_ok_gates():
     """The selector refuses TP meshes and non-flagship configs."""
     cfg = load_config(dict(network="multi_adain", enc_stack_way="constant",
@@ -173,3 +220,8 @@ def test_spatial_folded_train_ok_gates():
     assert not spatial_folded_train_ok(build_model(cfg2), ok_mesh)
     cfg3 = cfg.replace(folded_train_pallas=False)
     assert not spatial_folded_train_ok(build_model(cfg3), ok_mesh)
+    cfg4 = cfg.replace(network="ccam")
+    assert spatial_folded_train_ok(build_model(cfg4), ok_mesh)
+    # height constraint: 3 VGG pools + 2 relu4_1 rows per spatial shard
+    cfg5 = cfg.replace(img_size=16)
+    assert not spatial_folded_train_ok(build_model(cfg5), ok_mesh)
