@@ -163,14 +163,15 @@ def spatial_folded_train_ok(bundle, mesh: Mesh) -> bool:
     """True when the folded train step can run its fused Pallas kernels
     per shard via shard_map on this mesh: halo exchange + psum'd stats
     in forward AND backward (models/fast_path_spatial.py) — the flagship
-    multi_adain and ccam (whose extra state is just the registered scale
-    params; sel's train-mode BatchNorm state and mst's graph-cut host
-    callback keep those two on the XLA path).  Needs replicated params
-    (no ``model``/TP axis); any other folded configuration on a
-    >1-device mesh falls back to the XLA ring conv (Mosaic custom calls
-    carry no SPMD partitioning rule)."""
+    multi_adain, ccam (extra state is just the registered scale params),
+    and sel_multi_adain (train-mode BatchNorm batch stats psum over the
+    mesh; running-stat updates return replicated).  mst stays on the XLA
+    path (graph-cut host callback can't shard spatially).  Needs
+    replicated params (no ``model``/TP axis); any other folded
+    configuration on a >1-device mesh falls back to the XLA ring conv
+    (Mosaic custom calls carry no SPMD partitioning rule)."""
     spatial = dict(mesh.shape).get("spatial", 1)
-    return (bundle.network in ("multi_adain", "ccam")
+    return (bundle.network in ("multi_adain", "ccam", "sel_multi_adain")
             and bundle.folded_infer()
             and bool(bundle.cfg.get("folded_train_pallas", False))
             and "model" not in mesh.axis_names
@@ -205,6 +206,7 @@ def make_sharded_train_step(bundle, tx, mesh: Mesh, spatial: bool = False,
         if use_spatial_pallas:
             from ..models import fast_path_spatial as fps
             cfg = bundle.cfg
+            muts = {}
             if bundle.network == "ccam":
                 _, parts, grads = fps.loss_and_grads_ccam_folded_spatial(
                     state.params, vgg_vars["params"], content, style,
@@ -212,6 +214,14 @@ def make_sharded_train_step(bundle, tx, mesh: Mesh, spatial: bool = False,
                     content_weight=cfg.content_weight,
                     style_weight=cfg.style_weight,
                     dtype=bundle._folded_dtype())
+            elif bundle.network == "sel_multi_adain":
+                _, parts, grads, muts = \
+                    fps.loss_and_grads_sel_folded_spatial(
+                        state.params, state.extra["batch_stats"],
+                        vgg_vars["params"], content, style, mesh,
+                        content_weight=cfg.content_weight,
+                        style_weight=cfg.style_weight,
+                        dtype=bundle._folded_dtype())
             else:
                 _, parts, grads = \
                     fps.loss_and_grads_multi_adain_folded_spatial(
@@ -219,7 +229,6 @@ def make_sharded_train_step(bundle, tx, mesh: Mesh, spatial: bool = False,
                         mesh, content_weight=cfg.content_weight,
                         style_weight=cfg.style_weight,
                         dtype=bundle._folded_dtype())
-            muts = {}
         else:
             def loss_fn(params):
                 total, (parts, muts) = bundle.loss(

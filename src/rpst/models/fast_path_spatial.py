@@ -789,3 +789,164 @@ def loss_and_grads_ccam_folded_spatial(
         body, params, vgg_params, content, style, mesh,
         content_weight=content_weight, style_weight=style_weight,
         dtype=dtype, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# SELastRP spatial folded TRAINING (train-mode BatchNorm over the mesh)
+# ---------------------------------------------------------------------------
+
+def _folded_bn_train_spatial(x_l, params, stats, axes_info,
+                             momentum: float = 0.9, eps: float = 1e-5):
+    """``fast_path._folded_bn_train`` with the batch statistics psum'd
+    over every mesh axis in ``axes_info`` [(axis, n_shards), ...]: BN
+    batch stats are global over (batch, H, W, sub-position), so the
+    local sums combine exactly and the running-stat update is computed
+    identically (replicated) on every shard."""
+    from ..ops.folded import folded_channel_affine
+
+    n, hh, ww, c4 = x_l.shape
+    c = c4 // 4
+    v = x_l.astype(jnp.float32).reshape(n, hh * ww, 4, c)
+    s1 = jnp.sum(v, axis=(0, 1, 2))
+    s2 = jnp.sum(jnp.square(v), axis=(0, 1, 2))
+    cnt = n * hh * ww * 4
+    for ax, sh in axes_info:
+        if sh > 1:
+            s1 = jax.lax.psum(s1, ax)
+            s2 = jax.lax.psum(s2, ax)
+            cnt *= sh
+    mean = s1 / cnt
+    var = s2 / cnt - jnp.square(mean)
+    scale = params["scale"].astype(jnp.float32) / jnp.sqrt(var + eps)
+    shift = params["bias"].astype(jnp.float32) - mean * scale
+    y = folded_channel_affine(x_l, scale.astype(x_l.dtype),
+                              shift.astype(x_l.dtype))
+    new_stats = {
+        "mean": momentum * stats["mean"] + (1 - momentum) * mean,
+        "var": momentum * stats["var"] + (1 - momentum) * var,
+    }
+    return y, new_stats
+
+
+def _se_bottleneck_train_spatial(x_f, params, stats, dtype, axis: str,
+                                 n_shards: int, axes_info):
+    """Train-mode ``fast_path._folded_se_bottleneck_train`` on an
+    H-shard: batch-stat BatchNorm psum'd over the mesh, halo-exchanged
+    3x3 zero conv, psum'd SE global pool.  Returns (y_f, new_stats)."""
+    from ..ops.folded import (fold_conv1x1_kernel, fold_conv_kernel,
+                              folded_channel_affine, folded_zero_conv)
+
+    f32 = jnp.float32
+    residual = x_f
+    new_stats = {}
+    k1 = fold_conv1x1_kernel(params["conv1"]["kernel"]).astype(dtype)
+    out, new_stats["bn1"] = _folded_bn_train_spatial(
+        folded_zero_conv(x_f, k1), params["bn1"], stats["bn1"], axes_info)
+    out = jax.nn.relu(out)
+    k2 = fold_conv_kernel(params["conv2"]["kernel"]).astype(dtype)
+    out, new_stats["bn2"] = _folded_bn_train_spatial(
+        _zero_conv_halo(out, k2, axis, n_shards), params["bn2"],
+        stats["bn2"], axes_info)
+    out = jax.nn.relu(out)
+    k3 = fold_conv1x1_kernel(params["conv3"]["kernel"]).astype(dtype)
+    out, new_stats["bn3"] = _folded_bn_train_spatial(
+        folded_zero_conv(out, k3), params["bn3"], stats["bn3"], axes_info)
+    se = params["SELayer_0"]
+    y = _channel_pool_spatial(out, axis, n_shards)
+    y = jax.nn.relu(y @ se["Dense_0"]["kernel"].astype(f32))
+    y = jax.nn.sigmoid(y @ se["Dense_1"]["kernel"].astype(f32))
+    out = folded_channel_affine(out, y.astype(out.dtype))
+    return jax.nn.relu(out + residual), new_stats
+
+
+def _sel_shard_body_train(variables, c_l, s_l, n_shards: int, axes_info,
+                          dtype, interpret: bool):
+    """Per-shard train-mode SELastRP forward (running AdaIN re-fusion,
+    train SE bottleneck before the final decoder block — reference
+    adain_rp.py:451-481).  Returns (stylized_l, muts)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]["attention_block"]
+    enc = _folded_blocks(params["ms"]["rp_shared_encoder"])
+    dec = _folded_blocks(params["ms"]["rp_decoder"])
+    conv = lambda x, k, b: _conv_lrelu_halo(
+        x, k.astype(dtype), b.astype(dtype), "spatial", n_shards,
+        interpret)
+    adain = partial(_folded_adain_spatial, axis="spatial",
+                    n_shards=n_shards)
+
+    def encode(img):
+        x = fold(img.astype(dtype))
+        feats = []
+        for k, b in enc:
+            x = conv(x, k, b)
+            feats.append(x)
+        return feats
+
+    c_feats = encode(c_l)
+    s_feats = encode(s_l)
+    stylized = adain(c_feats[-1], s_feats[-1])
+    k, b = dec[0]
+    stylized = conv(stylized, k, b)
+    new_stats = None
+    pairs = list(zip(c_feats[:-1], s_feats[:-1]))[::-1]
+    for i, (_, sf) in enumerate(pairs):
+        stylized = adain(stylized, sf)
+        if i == len(pairs) - 1:
+            stylized, new_stats = _se_bottleneck_train_spatial(
+                stylized, params["attention_block"], stats, dtype,
+                "spatial", n_shards, axes_info)
+        k, b = dec[i + 1]
+        stylized = conv(stylized, k, b)
+    muts = {"batch_stats": {"attention_block": new_stats}}
+    return unfold(stylized).astype(c_l.dtype), muts
+
+
+def loss_and_grads_sel_folded_spatial(
+        params, batch_stats, vgg_params, content, style, mesh: Mesh, *,
+        content_weight: float, style_weight: float, dtype=jnp.bfloat16,
+        interpret: bool | None = None):
+    """(total, parts, grads, muts) for the SELastRP folded train step
+    over a ``{data?, spatial}`` mesh: the spatial shard_map Pallas
+    machinery of the flagship plus train-mode BatchNorm whose batch
+    statistics psum over the mesh (exactly the single-device stats) and
+    whose running-stat updates come back replicated in ``muts``."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    axis = "spatial"
+    has_spatial = axis in mesh.axis_names
+    n_shards = mesh.shape[axis] if has_spatial else 1
+    data_axis = "data" if "data" in mesh.axis_names else None
+    data_shards = mesh.shape["data"] if data_axis else 1
+    assert content.shape[1] % (16 * max(n_shards, 1)) == 0, (
+        f"image height {content.shape[1]} must divide into 16*{n_shards}")
+    axes = tuple(a for a, s in ((data_axis, data_shards), (axis, n_shards))
+                 if a is not None and s > 1)
+    axes_info = [(a, s) for a, s in ((data_axis, data_shards),
+                                     (axis, n_shards)) if a is not None]
+    img_spec = P(data_axis, axis if has_spatial else None)
+
+    def shard_fn(params, batch_stats, vgg_params, c_l, s_l):
+        def local_loss(p):
+            stylized, muts = _sel_shard_body_train(
+                {"params": p, "batch_stats": batch_stats}, c_l, s_l,
+                n_shards, axes_info, dtype, interpret)
+            parts = _perceptual_rp_losses_spatial(
+                vgg_params, stylized, s_l, c_l, axis, n_shards,
+                data_axis, data_shards, dtype)
+            total = (content_weight * parts["content_loss"]
+                     + style_weight * parts["style_loss"])
+            return total, (parts, muts)
+
+        (total, (parts, muts)), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params)
+        if axes:
+            grads = jax.lax.pmean(grads, axes)  # see _spatial_loss_and_grads
+        parts = dict(parts)
+        parts["total_loss"] = total
+        return total, parts, grads, muts
+
+    return jax.shard_map(shard_fn, mesh=mesh,
+                         in_specs=(P(), P(), P(), img_spec, img_spec),
+                         out_specs=(P(), P(), P(), P()),
+                         check_vma=False)(params, batch_stats, vgg_params,
+                                          content, style)

@@ -205,6 +205,50 @@ def test_ccam_spatial_grads_match_single_device(rng):
     assert float(jnp.abs(grads["ccam_0"]["scale"]).max()) > 0
 
 
+def test_sel_spatial_grads_and_stats_match_single_device(rng):
+    """SELastRP spatial folded training: train-mode BatchNorm batch
+    stats psum over the mesh, running-stat updates and gradients both
+    equal the single-device folded train path."""
+    from rpst.models.fast_path_spatial import (
+        loss_and_grads_sel_folded_spatial)
+
+    cfg = load_config(dict(network="sel_multi_adain",
+                           enc_stack_way="constant", rp_blocks=3,
+                           hidden_dim=32, img_size=32, inception_num=0,
+                           attention="none", exec_strategy="folded",
+                           folded_train_pallas=True,
+                           compute_dtype="float32",
+                           content_weight=1.0, style_weight=2.0))
+    bundle = build_model(cfg)
+    content = jnp.asarray(rng.random((2, 32, 32, 3), np.float32))
+    style = jnp.asarray(rng.random((2, 32, 32, 3), np.float32))
+    key = jax.random.PRNGKey(0)
+    _, vgg_vars = init_vgg_params(key, num_stages=4)
+    variables = bundle.init(key, content, style, vgg_vars)
+    params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p):
+        total, (parts, muts) = bundle.loss({"params": p, **extra},
+                                           vgg_vars, content, style,
+                                           train=True)
+        return total, (parts, muts)
+
+    (_, (ref_parts, ref_muts)), ref_grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+
+    mesh = make_mesh({"data": 2, "spatial": 2}, jax.devices()[:4])
+    total, parts, grads, muts = jax.jit(
+        lambda p, bs, v, c, s: loss_and_grads_sel_folded_spatial(
+            p, bs, v, c, s, mesh, content_weight=1.0, style_weight=2.0,
+            dtype=jnp.float32, interpret=True))(
+        params, extra["batch_stats"], vgg_vars["params"], content, style)
+    np.testing.assert_allclose(float(total),
+                               float(ref_parts["total_loss"]), rtol=1e-4)
+    _tree_allclose(grads, ref_grads, atol=2e-4)
+    _tree_allclose(muts, ref_muts, atol=1e-5)
+
+
 def test_spatial_folded_train_ok_gates():
     """The selector refuses TP meshes and non-flagship configs."""
     cfg = load_config(dict(network="multi_adain", enc_stack_way="constant",
@@ -216,8 +260,10 @@ def test_spatial_folded_train_ok_gates():
     assert not spatial_folded_train_ok(bundle, tp_mesh)
     ok_mesh = make_mesh({"data": 2, "spatial": 2}, jax.devices()[:4])
     assert spatial_folded_train_ok(bundle, ok_mesh)
-    cfg2 = cfg.replace(network="sel_multi_adain")
+    cfg2 = cfg.replace(network="mst")
     assert not spatial_folded_train_ok(build_model(cfg2), ok_mesh)
+    cfg2b = cfg.replace(network="sel_multi_adain")
+    assert spatial_folded_train_ok(build_model(cfg2b), ok_mesh)
     cfg3 = cfg.replace(folded_train_pallas=False)
     assert not spatial_folded_train_ok(build_model(cfg3), ok_mesh)
     cfg4 = cfg.replace(network="ccam")

@@ -86,7 +86,7 @@ def main():
     bundle = build_model(cfg)
     if n_mesh_dev > 1 and cfg.get("folded_train_pallas", False):
         axes = set(cfg.mesh_shape) if cfg.mesh_shape else {"data"}
-        if (bundle.network in ("multi_adain", "ccam")
+        if (bundle.network in ("multi_adain", "ccam", "sel_multi_adain")
                 and bundle.folded_infer()
                 and axes <= {"data", "spatial"}):
             logger.info("Multi-device mesh: folded training runs the "
