@@ -131,6 +131,12 @@ DEFAULTS: Dict[str, Any] = {
     "mst_lambda": 0.0,  # MST pairwise Potts weight (reference lam=0, adain_rp.py:434)
     "max_seg_labels": 64,  # static label universe for masked AdaIN
     "remat": False,  # rematerialize forward on backward (activation memory)
+    # microbatch count for gradient accumulation: the per-step batch is
+    # split into this many equal chunks run sequentially (lax.scan),
+    # gradients averaged, ONE optimizer update — effective-batch scaling
+    # past the activation-memory wall without remat's recompute cost
+    # (train/step.py::make_train_step)
+    "grad_accum": 1,
     "train_q8_targets": False,  # int8 no-grad VGG loss targets (folded
     #   families; calibrated on the first batch — models/__init__.py)
     # 'standard' | 'folded': folded = space-to-depth execution of the RP

@@ -201,8 +201,19 @@ def make_sharded_train_step(bundle, tx, mesh: Mesh, spatial: bool = False,
                          and spatial_folded_train_ok(bundle, mesh))
 
     import optax
+    from ..ops.engine import gspmd_trace
+    n_mesh_dev = int(mesh.devices.size)
 
     def step_fn(state, vgg_vars, content, style, content_label=None):
+        # mark the trace so engine gates (flash attention, folded conv,
+        # q8 loss targets) never auto-select Mosaic kernels inside this
+        # GSPMD program; the spatial shard_map branch below calls its
+        # per-shard Pallas kernels directly and is unaffected
+        with gspmd_trace(n_mesh_dev):
+            return _step_fn_body(state, vgg_vars, content, style,
+                                 content_label)
+
+    def _step_fn_body(state, vgg_vars, content, style, content_label=None):
         if use_spatial_pallas:
             from ..models import fast_path_spatial as fps
             cfg = bundle.cfg
@@ -230,14 +241,25 @@ def make_sharded_train_step(bundle, tx, mesh: Mesh, spatial: bool = False,
                         style_weight=cfg.style_weight,
                         dtype=bundle._folded_dtype())
         else:
-            def loss_fn(params):
+            def loss_fn(params, extra, c, s, lab):
                 total, (parts, muts) = bundle.loss(
-                    {"params": params, **state.extra}, vgg_vars, content,
-                    style, train=True, content_label=content_label)
+                    {"params": params, **extra}, vgg_vars, c, s,
+                    train=True, content_label=lab)
                 return total, (parts, muts)
 
-            (_, (parts, muts)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            accum = int(bundle.cfg.get("grad_accum", 1))
+            if accum > 1:
+                # microbatches split on the batch axis keep the data
+                # sharding: each scan step is a smaller GSPMD program
+                # over the same mesh (train/step.py::_accumulate_grads)
+                from ..train.step import _accumulate_grads
+                _, parts, muts, grads = _accumulate_grads(
+                    grad_fn, state, accum, content, style, content_label)
+            else:
+                (_, (parts, muts)), grads = grad_fn(
+                    state.params, state.extra, content, style,
+                    content_label)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         extra = dict(state.extra)

@@ -263,11 +263,16 @@ class ModelBundle:
                     variables["params"], content, style,
                     dtype=self._folded_dtype(),
                     use_pallas=self.cfg.get("folded_train_pallas", False))
+            from ..ops.engine import gspmd_devices
             from ..policy import TRAIN_Q8_TARGETS_MIN_BATCH
             if (self.cfg.get("train_q8_targets", False)
                     and self.q8_target_scales is not None
                     and self.cfg.img_size % 8 == 0
-                    and content.shape[0] >= TRAIN_Q8_TARGETS_MIN_BATCH):
+                    and content.shape[0] >= TRAIN_Q8_TARGETS_MIN_BATCH
+                    # the chained-int8 VGG runs Mosaic kernels on TPU —
+                    # never inside a >1-device GSPMD program (no SPMD
+                    # partitioning rule; round-4 ADVICE item 1)
+                    and gspmd_devices() <= 1):
                 # no-grad style/content target forwards through the
                 # chained-int8 VGG (round-4 item 2); the stylized pass —
                 # the only one carrying gradients — stays folded bf16

@@ -50,11 +50,16 @@ def _conv_lrelu(x, k, b, use_pallas):
     only wins for large batches of ≤512px images (b8: multi_adain 478
     vs 369, sel 400 vs 324, ccam 299 vs 291)."""
     if use_pallas == "auto":
+        from ..ops.engine import gspmd_devices
         from ..policy import (FOLDED_PALLAS_MAX_BATCH,
                               FOLDED_PALLAS_MIN_HIRES_H)
-        # x is folded: width x.shape[2] == original H/2
-        use_pallas = (x.shape[0] <= FOLDED_PALLAS_MAX_BATCH
-                      or x.shape[2] >= FOLDED_PALLAS_MIN_HIRES_H // 2)
+        # x is folded: width x.shape[2] == original H/2.  Never auto-pick
+        # Mosaic inside a >1-device GSPMD trace (no SPMD partitioning
+        # rule); explicit use_pallas=True callers run inside shard_map
+        # where per-shard Pallas is deliberate.
+        use_pallas = (gspmd_devices() <= 1
+                      and (x.shape[0] <= FOLDED_PALLAS_MAX_BATCH
+                           or x.shape[2] >= FOLDED_PALLAS_MIN_HIRES_H // 2))
     if (use_pallas and k.shape[2] % 128 == 0 and k.shape[3] % 128 == 0
             and jax.default_backend() != "cpu"):
         return folded_conv_lrelu(x, k, b)

@@ -70,7 +70,14 @@ class SANetAttention(nn.Module):
         Fm = F.reshape(n, hc * wc, c)
         Gm = G.reshape(n, hs * ws, c)
         Hm = H.reshape(n, hs * ws, c)
-        if jax.default_backend() == "tpu":
+        from ..ops.engine import mosaic_ok
+        if mosaic_ok():
+            # Mosaic flash attention: single-device TPU programs only —
+            # under a >1-device GSPMD mesh the custom call has no SPMD
+            # partitioning rule, so the dense XLA einsum (which GSPMD
+            # partitions fine) is used instead; the spatial serving mesh
+            # routes through the explicit shard_map attention in
+            # models/fast_path_spatial.py
             O = sanet_attention(Fm, Gm, Hm)
         else:
             O = _dense_attention(Fm, Gm, Hm)

@@ -47,9 +47,9 @@ def _folded_conv_relu(x_f, kf, bf):
     42.0 -> 52.1 img/s with the fused kernels but b8 60.4 -> 57.2 —
     at b8 the XLA ring conv already fills the chip, so the gate keeps
     the per-batch winner (thresh sweep over {4, 8, 16})."""
+    from ..ops.engine import mosaic_ok
     if (x_f.shape[0] <= 4 and kf.shape[2] % 128 == 0
-            and kf.shape[3] % 128 == 0
-            and jax.default_backend() != "cpu"):
+            and kf.shape[3] % 128 == 0 and mosaic_ok()):
         from ..ops.pallas.folded_conv import folded_conv_relu
         return folded_conv_relu(x_f, kf, bf)
     return jax.nn.relu(folded_conv(x_f, kf, bf))

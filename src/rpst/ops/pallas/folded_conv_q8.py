@@ -141,7 +141,10 @@ def _make_kernel(block_rows: int, num_blocks: int, N: int, H: int, W: int,
 
         @pl.when(t == 0)
         def _():  # warm-up: blocks 0..D-2 fetched into slots 0..D-2
-            for j in range(D - 1):
+            # bound by total: with dma_depth 3 and a single grid step
+            # (N=1, num_blocks=1) an unbounded warm-up would DMA-read
+            # x_hbm[1] out of bounds (round-4 ADVICE item 2)
+            for j in range(min(D - 1, total)):
                 # i2 must be TRACED: with a static block index Pallas
                 # statically bounds-checks the slices of the untaken
                 # pl.when branches inside slab_dma (observed on-chip

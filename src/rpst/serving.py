@@ -248,6 +248,18 @@ class DynamicBatcher:
         from collections import deque
         self.batch_ms: Any = deque(maxlen=1024)
         self._stop = threading.Event()
+        # double buffering via a dedicated flusher thread: the worker
+        # dispatches batch t and hands it off, then collects/stacks
+        # batch t+1 while the flusher blocks on batch t's device fetch.
+        # maxsize=1 bounds in-flight batches to one (same memory as the
+        # old inline scheme); unlike flushing inline after the NEXT
+        # dispatch, futures resolve as soon as the device finishes and
+        # batch_ms never includes the next batch's collection window
+        # (round-4 ADVICE item 3)
+        self._flush_q: Queue = Queue(maxsize=1)
+        self._flusher = threading.Thread(target=self._flush_loop,
+                                         daemon=True)
+        self._flusher.start()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -276,6 +288,8 @@ class DynamicBatcher:
         self._stop.set()
         self._q.put(None)  # wake the worker
         self._worker.join(timeout=10)
+        self._flush_q.put(None)  # worker exited — sentinel lands last
+        self._flusher.join(timeout=10)
         self._drain_failed()
 
     def _drain_failed(self):
@@ -309,19 +323,14 @@ class DynamicBatcher:
             items.append(nxt)
         return items
 
-    def _loop(self):
-        # a batch already collected when close() lands still serves;
-        # never-collected requests are failed by close()'s drain.
-        # DOUBLE-BUFFERED: batch t is dispatched asynchronously (JAX
-        # async dispatch) and fetched only after batch t+1 has been
-        # collected/stacked/dispatched — host-side stack + scatter
-        # overlap device compute, so sustained throughput approaches
-        # the device rate instead of host+device serialized
-        # (identity-runner host cost measured 5.7 ms/batch-8 at 512px
-        # on one core — comparable to the 15 ms device batch).
-        pending = None  # (futs, device_out, t0)
-
-        def flush(p):
+    def _flush_loop(self):
+        # blocks on the device fetch of the batch in flight; futures
+        # resolve the moment the device finishes, independent of what
+        # the worker is collecting
+        while True:
+            p = self._flush_q.get()
+            if p is None:
+                return
             futs, dev_out, t0 = p
             try:
                 out = np.asarray(dev_out)  # blocks until device done
@@ -337,12 +346,19 @@ class DynamicBatcher:
                     if not fut.done():
                         fut.set_exception(e)
 
+    def _loop(self):
+        # a batch already collected when close() lands still serves;
+        # never-collected requests are failed by close()'s drain.
+        # DOUBLE-BUFFERED: batch t is dispatched asynchronously (JAX
+        # async dispatch) and handed to the flusher thread, which blocks
+        # on the device fetch while this worker collects/stacks batch
+        # t+1 — host-side stack + scatter overlap device compute, so
+        # sustained throughput approaches the device rate instead of
+        # host+device serialized (identity-runner host cost measured
+        # 5.7 ms/batch-8 at 512px on one core — comparable to the 15 ms
+        # device batch).  The maxsize-1 hand-off queue keeps exactly one
+        # batch in flight.
         while not self._stop.is_set():
-            # opportunistic: nothing queued -> drain the in-flight batch
-            if pending is not None and self._q.empty():
-                flush(pending)
-                pending = None
-                continue
             items = self._collect()
             if not items:
                 continue
@@ -364,11 +380,8 @@ class DynamicBatcher:
                     if not fut.done():
                         fut.set_exception(e)
                 continue
-            if pending is not None:
-                flush(pending)
-            pending = (futs, dev_out, t0)
-        if pending is not None:
-            flush(pending)
+            # blocks while one batch is already in flight (bounded depth)
+            self._flush_q.put((futs, dev_out, t0))
 
 
 # ---------------------------------------------------------------------------

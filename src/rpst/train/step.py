@@ -65,6 +65,57 @@ def create_train_state(bundle: ModelBundle, rng, sample_content, sample_style,
                       rng=state_rng), tx
 
 
+def _accumulate_grads(grad_fn, state, accum: int, content, style,
+                      content_label=None):
+    """Gradient accumulation: split the batch into ``accum`` equal
+    microbatches, run them sequentially under ``lax.scan`` (one live
+    microbatch of activations at a time — effective-batch scaling past
+    the activation-memory wall), average losses and gradients, and
+    thread mutable collections (BN stats) through the scan carry so
+    running statistics update exactly as ``accum`` sequential steps
+    would.  The averaged gradient equals the full-batch gradient because
+    every loss is a batch mean over equal-sized chunks."""
+    n = content.shape[0]
+    assert n % accum == 0, (
+        f"batch {n} not divisible by grad_accum {accum}")
+    mb = n // accum
+    cs = content.reshape(accum, mb, *content.shape[1:])
+    ss = style.reshape(accum, mb, *style.shape[1:])
+    xs = (cs, ss)
+    if content_label is not None:
+        xs = xs + (content_label.reshape(accum, mb,
+                                         *content_label.shape[1:]),)
+
+    def body(carry, mbatch):
+        extra, gsum, psum, tsum = carry
+        c, s = mbatch[0], mbatch[1]
+        lab = mbatch[2] if len(mbatch) > 2 else None
+        (total, (parts, muts)), grads = grad_fn(state.params, extra,
+                                                c, s, lab)
+        new_extra = dict(extra)
+        new_extra.update(muts)
+        gsum = jax.tree.map(jnp.add, gsum, grads)
+        psum = {k: psum[k] + parts[k] for k in psum}
+        return (new_extra, gsum, psum, tsum + total), None
+
+    # probe one microbatch abstractly for the parts/grads structure
+    shapes = jax.eval_shape(
+        lambda p, e, c, s, lab: grad_fn(p, e, c, s, lab),
+        state.params, state.extra, cs[0], ss[0],
+        xs[2][0] if len(xs) > 2 else None)
+    (_, (parts_shape, _)), grads_shape = shapes
+    gsum0 = jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype),
+                         grads_shape)
+    psum0 = {k: jnp.zeros(v.shape, v.dtype)
+             for k, v in parts_shape.items()}
+    (extra, gsum, psum, tsum), _ = jax.lax.scan(
+        body, (dict(state.extra), gsum0, psum0, jnp.float32(0.0)), xs)
+    inv = 1.0 / accum
+    grads = jax.tree.map(lambda g: g * inv, gsum)
+    parts = {k: v * inv for k, v in psum.items()}
+    return tsum * inv, parts, dict(extra), grads
+
+
 def make_train_step(bundle: ModelBundle, tx, skip_nonfinite: bool = True,
                     with_labels: bool = False) -> Callable:
     """Build the jitted step: (state, vgg_vars, content, style[, label]) →
@@ -80,13 +131,14 @@ def make_train_step(bundle: ModelBundle, tx, skip_nonfinite: bool = True,
     silently diverging or swallowing errors."""
 
     remat = bool(bundle.cfg.get("remat", False))
+    accum = int(bundle.cfg.get("grad_accum", 1))
 
     def step_fn(state: TrainState, vgg_vars, content, style,
                 content_label=None):
-        def loss_fn(params):
+        def loss_fn(params, extra, c, s, lab):
             total, (parts, muts) = bundle.loss(
-                {"params": params, **state.extra}, vgg_vars, content, style,
-                train=True, content_label=content_label)
+                {"params": params, **extra}, vgg_vars, c, s,
+                train=True, content_label=lab)
             return total, (parts, muts)
 
         if remat:
@@ -95,9 +147,14 @@ def make_train_step(bundle: ModelBundle, tx, skip_nonfinite: bool = True,
             # memory (not weights) is the training scaling wall (SURVEY §5)
             # — trade FLOPs for HBM.
             loss_fn = jax.checkpoint(loss_fn)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-        (total, (parts, muts)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if accum > 1:
+            total, parts, muts, grads = _accumulate_grads(
+                grad_fn, state, accum, content, style, content_label)
+        else:
+            (total, (parts, muts)), grads = grad_fn(
+                state.params, state.extra, content, style, content_label)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         extra = dict(state.extra)

@@ -157,26 +157,6 @@ def main():
         else:
             logger.warning(f"resume requested but no checkpoint at {ckpt}")
 
-    if cfg.get("train_q8_targets", False):
-        # int8 no-grad VGG loss targets: calibrate activation scales once
-        # on a representative batch (the VGG is frozen, so the scales
-        # hold for the whole run); only the folded families consume them
-        # (ModelBundle.loss), and the spatial shard_map Pallas train path
-        # keeps bf16 targets (its loss runs inside shard_map).
-        if bundle.folded_infer() and cfg.img_size % 8 == 0:
-            from rpst.models.fast_path_q8 import calibrate_vgg_targets_q8
-            calib_c = next(content_iter)
-            calib_c = jnp.asarray(calib_c[0] if seg_training else calib_c)
-            calib_s = jnp.asarray(next(style_iter))
-            bundle.q8_target_scales = calibrate_vgg_targets_q8(
-                vgg_vars, calib_c, calib_s)
-            logger.info("train_q8_targets: calibrated "
-                        f"{len(bundle.q8_target_scales['act_scales'])} "
-                        "VGG target scales (int8 no-grad loss targets)")
-        else:
-            logger.warning("train_q8_targets ignored: needs a folded "
-                           "family config and img_size % 8 == 0")
-
     mesh, spatial, state_sharding = None, False, None
     if cfg.mesh_shape or n_proc > 1:
         # multi-process always runs under a global mesh (default: pure DP
@@ -199,6 +179,41 @@ def main():
     else:
         train_step = make_train_step(bundle, tx, with_labels=seg_training)
     stylize = make_stylize_fn(bundle)
+
+    if cfg.get("train_q8_targets", False):
+        # int8 no-grad VGG loss targets: calibrate activation scales once
+        # on a representative batch (the VGG is frozen, so the scales
+        # hold for the whole run); only the single-device folded loss
+        # consumes them (ModelBundle.loss).  Multi-device routes never
+        # do: the spatial shard_map Pallas path computes its loss inside
+        # shard_map with bf16 targets, and a GSPMD-partitioned step must
+        # not contain the chained-int8 VGG's Mosaic kernels (no SPMD
+        # partitioning rule) — so calibration is skipped, not silently
+        # ignored (round-4 ADVICE item 1).
+        from rpst.dist import spatial_folded_train_ok
+        if mesh is not None and not seg_training \
+                and spatial_folded_train_ok(bundle, mesh):
+            logger.info("train_q8_targets inactive: the spatial shard_map "
+                        "Pallas train path keeps bf16 loss targets "
+                        "(its loss runs inside shard_map)")
+        elif n_mesh_dev > 1:
+            logger.warning("train_q8_targets skipped on a multi-device "
+                           "GSPMD mesh: the int8 target kernels are "
+                           "Mosaic custom calls with no SPMD "
+                           "partitioning rule")
+        elif bundle.folded_infer() and cfg.img_size % 8 == 0:
+            from rpst.models.fast_path_q8 import calibrate_vgg_targets_q8
+            calib_c = next(content_iter)
+            calib_c = jnp.asarray(calib_c[0] if seg_training else calib_c)
+            calib_s = jnp.asarray(next(style_iter))
+            bundle.q8_target_scales = calibrate_vgg_targets_q8(
+                vgg_vars, calib_c, calib_s)
+            logger.info("train_q8_targets: calibrated "
+                        f"{len(bundle.q8_target_scales['act_scales'])} "
+                        "VGG target scales (int8 no-grad loss targets)")
+        else:
+            logger.warning("train_q8_targets ignored: needs a folded "
+                           "family config and img_size % 8 == 0")
 
     def run_test_dump(iteration: int):
         params, extra = state.params, state.extra
