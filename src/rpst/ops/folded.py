@@ -97,6 +97,31 @@ def _col_blocks(x_f, sj: int):
     return v[..., idx, :]  # (N, H, W, 2, C)
 
 
+def _lane_halves_select(src_first, src_second):
+    """[src_first's first-2C lanes | src_second's last-2C lanes].
+
+    Built as a lane-iota ``where`` instead of the natural
+    ``concat([a[..., :half], b[..., half:]], -1)``: the current XLA:TPU
+    backend MISCOMPILES that concat — both halves read ``a``'s rows
+    (found 2026-08-20 via tools/hw/hw_fused2_debug.py; eager and CPU
+    compile it correctly, so only on-TPU jit paths were affected —
+    tools/hw/hw_folded_semantics_check.py gates every helper here)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, src_first.shape,
+                                    src_first.ndim - 1)
+    return jnp.where(lane < src_first.shape[-1] // 2, src_first,
+                     src_second)
+
+
+def _sub_col_select(src_even, src_odd):
+    """Lane blocks {0,2} (sub-col 0) from ``src_even``, blocks {1,3}
+    from ``src_odd`` — the column analogue of
+    :func:`_lane_halves_select`, same miscompile workaround."""
+    c = src_even.shape[-1] // 4
+    lane = jax.lax.broadcasted_iota(jnp.int32, src_even.shape,
+                                    src_even.ndim - 1)
+    return jnp.where((lane // c) % 2 == 0, src_even, src_odd)
+
+
 def folded_reflect_pad(x_f: jnp.ndarray) -> jnp.ndarray:
     """1-original-pixel ReflectionPad2d in the folded domain → +1 folded
     ring on each side, built from channel-permuted interior slices.
@@ -111,27 +136,13 @@ def folded_reflect_pad(x_f: jnp.ndarray) -> jnp.ndarray:
     half = c4 // 2
 
     # --- rows ---
-    top = jnp.concatenate([_row_blocks(x_f[:, 1:2], 0),
-                           _row_blocks(x_f[:, 0:1], 1)], axis=-1)
-    bottom = jnp.concatenate([_row_blocks(x_f[:, h - 1:h], 0),
-                              _row_blocks(x_f[:, h - 2:h - 1], 1)], axis=-1)
+    top = _lane_halves_select(x_f[:, 1:2], x_f[:, 0:1])
+    bottom = _lane_halves_select(x_f[:, h - 1:h], x_f[:, h - 2:h - 1])
     x_f = jnp.concatenate([top, x_f, bottom], axis=1)  # (N, H+2, W, 4C)
 
     # --- cols (on the row-padded tensor; corners fall out automatically) ---
-    hp = h + 2
-    left0 = _col_blocks(x_f[:, :, 1:2], 0)   # (N, Hp, 1, 2, C): orig col 2
-    left1 = _col_blocks(x_f[:, :, 0:1], 1)   # orig col 1
-    right0 = _col_blocks(x_f[:, :, w - 1:w], 0)  # orig col W-2
-    right1 = _col_blocks(x_f[:, :, w - 2:w - 1], 1)  # orig col W-3
-
-    def pack(c0, c1):
-        # interleave back into layout (s0,s1,s2,s3) = (r0c0, r0c1, r1c0, r1c1)
-        out = jnp.stack([c0[..., 0, :], c1[..., 0, :],
-                         c0[..., 1, :], c1[..., 1, :]], axis=-2)
-        return out.reshape(n, hp, 1, c4)
-
-    left = pack(left0, left1)
-    right = pack(right0, right1)
+    left = _sub_col_select(x_f[:, :, 1:2], x_f[:, :, 0:1])
+    right = _sub_col_select(x_f[:, :, w - 1:w], x_f[:, :, w - 2:w - 1])
     return jnp.concatenate([left, x_f, right], axis=2)
 
 
@@ -142,27 +153,18 @@ def _conv(x, k, padding):
 
 def _row_ring(x_f, top: bool):
     """The folded ring row above (top) / below the tensor; see
-    folded_reflect_pad."""
+    folded_reflect_pad (lane-select form — see _lane_halves_select)."""
     h = x_f.shape[1]
     if top:
-        return jnp.concatenate([_row_blocks(x_f[:, 1:2], 0),
-                                _row_blocks(x_f[:, 0:1], 1)], axis=-1)
-    return jnp.concatenate([_row_blocks(x_f[:, h - 1:h], 0),
-                            _row_blocks(x_f[:, h - 2:h - 1], 1)], axis=-1)
+        return _lane_halves_select(x_f[:, 1:2], x_f[:, 0:1])
+    return _lane_halves_select(x_f[:, h - 1:h], x_f[:, h - 2:h - 1])
 
 
 def _col_ring(x_f, left: bool):
-    n, h, w, c4 = x_f.shape
-    c = c4 // 4
+    w = x_f.shape[2]
     if left:
-        c0 = _col_blocks(x_f[:, :, 1:2], 0)
-        c1 = _col_blocks(x_f[:, :, 0:1], 1)
-    else:
-        c0 = _col_blocks(x_f[:, :, w - 1:w], 0)
-        c1 = _col_blocks(x_f[:, :, w - 2:w - 1], 1)
-    out = jnp.stack([c0[..., 0, :], c1[..., 0, :],
-                     c0[..., 1, :], c1[..., 1, :]], axis=-2)
-    return out.reshape(n, h, 1, c4)
+        return _sub_col_select(x_f[:, :, 1:2], x_f[:, :, 0:1])
+    return _sub_col_select(x_f[:, :, w - 1:w], x_f[:, :, w - 2:w - 1])
 
 
 def _pad_cols_ring(x_f):

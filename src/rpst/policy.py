@@ -92,6 +92,13 @@ LD_PALLAS_MIN_2N = 4
 # v3-v5 measured negative and stay separate-encode).
 LD2_2N_ENCODE_MIN_BATCH = 4
 
+# Two-layer fused int8 encoder pairs (folded_conv2_q8): chains
+# consecutive eligible encoder convs into one Pallas program — the
+# intermediate's HBM read disappears, boundary rows recomputed
+# (bit-exact).  Default off until the serving A/B lands
+# (tools/hw/hw_fused2_ab.py); flipped by measurement only.
+FUSED2_ENCODE = False
+
 # Int8 no-grad VGG loss targets (train_q8_targets): 512px measured
 # b8 60.6 -> 65.1 img/s (+7.5%), b4 +1.7% (noise), b1 -11% (the
 # small-batch Mosaic/XLA engine mix) — bench.py --train 2026-08-20.

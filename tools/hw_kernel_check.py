@@ -212,6 +212,49 @@ def main():
         check(f"fused_folded_conv_q8 ring_dma stats b{bs} h{h}", rs1d, s1,
               atol=0.0)
 
+    # two-layer fused int8 conv pair: BIT-exact vs two single-layer calls
+    # (same matmuls/epilogue/requant; boundary rows recomputed) — incl.
+    # the in-kernel layer-2 ring construction and both layers' stats
+    from rpst.ops.pallas.folded_conv2_q8 import fused_folded_conv2_q8
+
+    w2_q, w2_scale = quantize_weights(
+        jnp.asarray(rng.normal(size=(3, 3, 4 * C, 4 * C))
+                    .astype(np.float32) * 0.2))
+    b2_f = jnp.asarray(rng.normal(size=(4 * C,)).astype(np.float32))
+    o1s, o2s = 0.9, 1.1
+    for bs, h in ((1, 64), (2, 32), (1, 16)):
+        xf = rng.normal(size=(bs, h, 256, 4 * C)).astype(np.float32) * 2.0
+        x_q = quantize_activations(jnp.asarray(xf), x_scale)
+        sc1 = jnp.stack([(x_scale * w_scale).astype(jnp.float32),
+                         bf_f32.astype(jnp.float32),
+                         jnp.broadcast_to(jnp.float32(1.0 / o1s),
+                                          w_scale.shape)])
+        sc2 = jnp.stack([(o1s * w2_scale).astype(jnp.float32), b2_f,
+                         jnp.broadcast_to(jnp.float32(1.0 / o2s),
+                                          w2_scale.shape)])
+        y1_ref = jax.jit(lambda x: fused_folded_conv_q8(
+            x, w_q, sc1, out_int8=True))(x_q)
+        y2_ref = jax.jit(lambda y: fused_folded_conv_q8(
+            y, w2_q, sc2, out_int8=True))(y1_ref)
+        y1, y2 = jax.jit(lambda x: fused_folded_conv2_q8(
+            x, w_q, sc1, w2_q, sc2, out_int8=True))(x_q)
+        check(f"fused_folded_conv2_q8 y1 b{bs} h{h}", y1, y1_ref, atol=0.0)
+        check(f"fused_folded_conv2_q8 y2 b{bs} h{h}", y2, y2_ref, atol=0.0)
+        r = jax.jit(lambda x: fused_folded_conv2_q8(
+            x, w_q, sc1, w2_q, sc2, out_int8=True, with_stats=True))(x_q)
+        _, s1ref1, s2ref1 = jax.jit(lambda x: fused_folded_conv_q8(
+            x, w_q, sc1, out_int8=True, with_stats=True))(x_q)
+        _, s1ref2, s2ref2 = jax.jit(lambda y: fused_folded_conv_q8(
+            y, w2_q, sc2, out_int8=True, with_stats=True))(y1_ref)
+        check(f"fused_folded_conv2_q8 stats11 b{bs} h{h}", r[2], s1ref1,
+              atol=0.005 * float(jnp.abs(s1ref1).max()))
+        check(f"fused_folded_conv2_q8 stats12 b{bs} h{h}", r[3], s2ref1,
+              atol=0.005 * float(jnp.abs(s2ref1).max()))
+        check(f"fused_folded_conv2_q8 stats21 b{bs} h{h}", r[4], s1ref2,
+              atol=0.005 * float(jnp.abs(s1ref2).max()))
+        check(f"fused_folded_conv2_q8 stats22 b{bs} h{h}", r[5], s2ref2,
+              atol=0.005 * float(jnp.abs(s2ref2).max()))
+
     # standard-layout int8 conv (wide channels) vs emulated int reference
     from rpst.ops.pallas.conv2d_q8 import fused_conv2d_q8
 
