@@ -1256,14 +1256,31 @@ def calibrate_vgg_targets_q8(vgg_vars, content, style) -> Dict[str, np.ndarray]:
 
 
 def vgg_target_taps_q8(vgg_vars, scales, imgs, dtype=jnp.bfloat16,
-                       block_rows: int = 16, interpret: bool = False):
+                       block_rows: int = 16, interpret: bool = False,
+                       conv_impl: str = "auto"):
     """[relu1_1..relu4_1] taps of ``imgs`` through the chained-int8 VGG
     encoder — the training loss's no-grad style/content targets
     (reference adain_rp.py:327-329 runs these as full-precision frozen
     forwards; they carry no gradients, so int8 only perturbs the loss
-    TARGET values, never the backward path)."""
+    TARGET values, never the backward path).
+
+    ``conv_impl``: 'pallas' = the standard-layout fused kernel; 'xla' =
+    XLA's int8 conv + fused epilogue (same integer math); 'auto' applies
+    the LD small-batch lesson (policy.LD_MIXED_ENGINE_MIN_2N): below a
+    2N batch of 8 the mixed Mosaic+XLA program collapses, so the whole
+    target pass runs one engine (XLA) — the r4 b1 −11% q8tgt regression
+    was exactly this mix (VERDICT r5 item 3)."""
     st = _ScaleStream(scales["act_scales"])
-    conv_q = _make_conv_q_std(dtype, block_rows, interpret, "reflect")
+    if conv_impl == "auto":
+        from ..policy import LD_MIXED_ENGINE_MIN_2N
+        conv_impl = ("pallas" if imgs.shape[0] >= LD_MIXED_ENGINE_MIN_2N
+                     else "xla")
+    if conv_impl == "xla" and not interpret:
+        def conv_q(x_q, x_scale, k, b, out_scale=None):
+            return _xla_conv_q8(x_q, x_scale, k, b, dtype,
+                                out_scale=out_scale, alpha=0.0)
+    else:
+        conv_q = _make_conv_q_std(dtype, block_rows, interpret, "reflect")
     return _vgg_encode_q8(vgg_vars["params"],
                           jax.lax.stop_gradient(imgs).astype(dtype),
                           4, dtype, conv_q, st)

@@ -159,3 +159,57 @@ def test_bundle_loss_without_scales_stays_bf16(rng):
     t_off, _ = bundle_off.loss({"params": params}, vgg_vars, content,
                                style, train=True)
     np.testing.assert_allclose(float(t_on), float(t_off), rtol=1e-6)
+
+
+def test_xla_engine_taps_match_pallas(rng):
+    """conv_impl='xla' (the one-engine small-batch route, VERDICT r5
+    item 3) must produce the same integer-math taps as the Pallas
+    kernel path — both compute int8 matmuls + the identical f32
+    epilogue, so taps agree to epilogue reassociation noise."""
+    _, vgg_vars, _, content, style = _setup(rng, batch=2)
+    imgs = jnp.concatenate([style, content], axis=0)
+    scales = calibrate_vgg_targets_q8(vgg_vars, content, style)
+    taps_p = vgg_target_taps_q8(vgg_vars, scales, imgs,
+                                dtype=jnp.float32, interpret=True,
+                                conv_impl="pallas")
+    taps_x = vgg_target_taps_q8(vgg_vars, scales, imgs,
+                                dtype=jnp.float32, conv_impl="xla")
+    assert len(taps_p) == len(taps_x)
+    for a, b in zip(taps_p, taps_x):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=5e-3, atol=5e-2)
+
+
+def test_auto_engine_resolves_by_batch():
+    """'auto' picks one XLA engine below the LD 2N crossover and the
+    Pallas kernel at/above it (policy.LD_MIXED_ENGINE_MIN_2N)."""
+    import rpst.models.fast_path_q8 as q8
+    calls = []
+    orig = q8._make_conv_q_std
+
+    def spy(*a, **k):
+        calls.append("pallas")
+        return orig(*a, **k)
+
+    gen = np.random.default_rng(0)
+    _, vgg_vars, _, c, s = _setup(gen, batch=1)
+    scales = calibrate_vgg_targets_q8(vgg_vars, c, s)
+    try:
+        q8._make_conv_q_std = spy
+        # 2N = 2 < 8 -> xla (no _make_conv_q_std call)
+        vgg_target_taps_q8(vgg_vars, scales,
+                           jnp.concatenate([s, c], axis=0),
+                           dtype=jnp.float32, conv_impl="auto")
+        assert calls == []
+        # 2N = 8 -> pallas
+        big = jnp.tile(jnp.concatenate([s, c], axis=0), (4, 1, 1, 1))
+        try:
+            vgg_target_taps_q8(vgg_vars, scales, big,
+                               dtype=jnp.float32, conv_impl="auto")
+        except Exception:
+            pass  # the Pallas kernel needs interpret on CPU; the spy
+            # firing is the assertion, not the numerics
+        assert calls == ["pallas"]
+    finally:
+        q8._make_conv_q_std = orig

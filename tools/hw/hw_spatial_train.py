@@ -61,7 +61,7 @@ def run(img, batch, spatial_route):
     label = f"{img}px b{batch} " + ("spatial" if spatial_route else "plain")
     try:
         if spatial_route:
-            mesh = make_mesh({"spatial": 1}, jax.devices()[:1])
+            mesh = make_mesh({"data": 1, "spatial": 1}, jax.devices()[:1])
             state = replicate(state, mesh)
             vgg_r = replicate(vgg_vars, mesh)
             cd = shard_batch(c, mesh, spatial=True)

@@ -27,6 +27,9 @@ def main():
     elif only == "remat":
         rows = [("folded", b, {"remat": True}, f"b{b}+remat")
                 for b in (24, 32, 48)]
+    elif only == "q8tgt_small":
+        q8tgt_smallbatch()
+        return
     elif only == "accum":
         rows = [("folded", b, {"grad_accum": k}, f"b{b}+accum{k}")
                 for b, k in ((32, 2), (48, 3), (64, 4), (96, 6))]
@@ -39,6 +42,27 @@ def main():
         except Exception as e:
             bench.log(f"[train] {label}: {type(e).__name__}: "
                       f"{str(e)[:160]}")
+
+
+
+
+def q8tgt_smallbatch():
+    """A/B the q8-target engine fix at b1/b2 (VERDICT r5 item 3): the
+    policy gate TRAIN_Q8_TARGETS_MIN_BATCH is lifted for the run so the
+    small-batch rows execute; conv_impl='auto' now routes 2N<8 through
+    one XLA engine."""
+    from rpst import policy
+    policy.TRAIN_Q8_TARGETS_MIN_BATCH = 1
+    for batch in (1, 2, 4):
+        for over, label in (({}, f"b{batch}+bf16tgt"),
+                            ({"train_q8_targets": True},
+                             f"b{batch}+q8tgt-fixed")):
+            try:
+                bench.bench_train("folded", batch, iters=8, repeats=3,
+                                  label=label, **over)
+            except Exception as e:
+                bench.log(f"[train] {label}: {type(e).__name__}: "
+                          f"{str(e)[:160]}")
 
 
 if __name__ == "__main__":
