@@ -6,7 +6,11 @@ exec > /tmp/hw_all.log 2>&1
 set -x
 date
 export PYTHONPATH=/root/.axon_site:src
-timeout 1200 python tools/hw_kernel_check.py
+# folded-helper semantics FIRST: a jax/libtpu update can reintroduce the
+# 2026-08-20 half-lane-concat miscompilation (NOTES.md round-5) and every
+# downstream equality check would then pass self-consistently-wrong
+timeout 900 python -u tools/hw/hw_folded_semantics_check.py
+timeout 1800 python tools/hw_kernel_check.py
 timeout 1800 python -u tools/hw/hw_q8_check.py
 timeout 3600 python -u tools/hw/hw_q8_bench.py
 timeout 1800 python bench.py
