@@ -23,9 +23,14 @@ class InfiniteLoader:
 
     def __init__(self, dataset, batch_size: int, num_workers: int = 4,
                  seed: Optional[int] = None, prefetch: int = 4,
-                 shard_index: int = 0, shard_count: int = 1):
+                 shard_index: int = 0, shard_count: int = 1,
+                 with_indices: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
+        # with_indices: yield (indices, batch) so consumers can key
+        # per-image caches (train/target_cache.py) — dataset items are
+        # deterministic functions of the index (resize-only pipeline)
+        self.with_indices = with_indices
         self.num_workers = max(1, num_workers)
         self._sampler = InfiniteSampler(len(dataset), seed,
                                         shard_index=shard_index,
@@ -53,6 +58,8 @@ class InfiniteLoader:
                               for j in range(len(items[0])))
             else:
                 batch = np.stack(items)
+            if self.with_indices:
+                batch = (tuple(idx), batch)
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.5)

@@ -204,7 +204,8 @@ class ModelBundle:
 
     def loss(self, variables, vgg_vars, content, style,
              train: bool = True,
-             content_label=None) -> Tuple[jnp.ndarray, Tuple[Dict, Dict]]:
+             content_label=None,
+             targets=None) -> Tuple[jnp.ndarray, Tuple[Dict, Dict]]:
         vgg_features = self._vgg_features(vgg_vars)
         mutable = ["batch_stats"] if "batch_stats" in variables else False
         model = self.model
@@ -265,7 +266,18 @@ class ModelBundle:
                     use_pallas=self.cfg.get("folded_train_pallas", False))
             from ..ops.engine import gspmd_devices
             from ..policy import TRAIN_Q8_TARGETS_MIN_BATCH
-            if (self.cfg.get("train_q8_targets", False)
+            if targets is not None:
+                # precomputed loss targets (train/target_cache.py): the
+                # step's only VGG loss sweep is the gradient-carrying
+                # stylized pass
+                from ..nn.vgg_folded import (
+                    perceptual_rp_losses_folded_pretargets)
+                t_stats, t_relu4 = targets
+                parts, _ = perceptual_rp_losses_folded_pretargets(
+                    vgg_vars, stylized, t_stats, t_relu4,
+                    self.cfg.content_weight, self.cfg.style_weight,
+                    dtype=self._folded_dtype())
+            elif (self.cfg.get("train_q8_targets", False)
                     and self.q8_target_scales is not None
                     and self.cfg.img_size % 8 == 0
                     and content.shape[0] >= TRAIN_Q8_TARGETS_MIN_BATCH

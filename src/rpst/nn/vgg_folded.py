@@ -163,6 +163,35 @@ def perceptual_rp_losses_folded(vgg_vars, stylized, style, content,
     return {"style_loss": loss_s, "content_loss": loss_c}, total
 
 
+def perceptual_rp_losses_folded_pretargets(vgg_vars, stylized, t_stats,
+                                           t_relu4, content_weight: float,
+                                           style_weight: float,
+                                           dtype: Any = jnp.bfloat16):
+    """``perceptual_rp_losses_folded`` with the style/content loss TARGETS
+    supplied precomputed instead of re-encoded through VGG every step.
+
+    The targets (style per-scale (mean, std) pairs + the content relu4_1
+    feature map — reference adain_rp.py:327-329) depend only on the raw
+    images and the FROZEN encoder, never on trainable parameters, so
+    recomputing them per iteration (as the reference's loop does for every
+    revisit of an image across epochs) is pure waste.  With targets cached
+    (``rpst.train.target_cache``), the step keeps exactly one VGG loss
+    sweep — the gradient-carrying stylized pass.  Identical loss/grads to
+    the recompute path: targets enter under ``stop_gradient`` either way,
+    and bf16/f32 cache storage round-trips the computed values exactly
+    (pinned in tests/test_target_cache.py)."""
+    from ..models.base import mse
+
+    g_stats, g_relu4 = vgg_perceptual_stats(vgg_vars, stylized, dtype)
+    loss_s = sum(mse(gm, jax.lax.stop_gradient(tm))
+                 + mse(gs, jax.lax.stop_gradient(ts))
+                 for (gm, gs), (tm, ts) in zip(g_stats, t_stats))
+    loss_c = mse(g_relu4.astype(jnp.float32),
+                 jax.lax.stop_gradient(t_relu4).astype(jnp.float32))
+    total = content_weight * loss_c + style_weight * loss_s
+    return {"style_loss": loss_s, "content_loss": loss_c}, total
+
+
 def perceptual_rp_losses_q8targets(vgg_vars, scales, stylized, style,
                                    content, content_weight: float,
                                    style_weight: float,

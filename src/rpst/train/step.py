@@ -117,12 +117,19 @@ def _accumulate_grads(grad_fn, state, accum: int, content, style,
 
 
 def make_train_step(bundle: ModelBundle, tx, skip_nonfinite: bool = True,
-                    with_labels: bool = False) -> Callable:
+                    with_labels: bool = False,
+                    with_targets: bool = False) -> Callable:
     """Build the jitted step: (state, vgg_vars, content, style[, label]) →
     (new_state, loss_dict).
 
     ``with_labels`` adds a content_label argument (int NHW) for the
     segmentation-supervised path (network=seg_adain + Cityscapes data).
+
+    ``with_targets`` adds a precomputed-loss-targets argument (the
+    (t_stats, t_relu4) pytree from ``train.target_cache``), routed into
+    ``ModelBundle.loss(targets=...)`` so the step skips the no-grad
+    style/content VGG target pass.  Mutually exclusive with grad_accum
+    (the cache keys are per-image; microbatching them is unimplemented).
 
     ``skip_nonfinite`` is the principled version of the reference's
     blanket per-iteration ``try/except: pass`` (train.py:179,229-231): a
@@ -132,13 +139,17 @@ def make_train_step(bundle: ModelBundle, tx, skip_nonfinite: bool = True,
 
     remat = bool(bundle.cfg.get("remat", False))
     accum = int(bundle.cfg.get("grad_accum", 1))
+    assert not (with_targets and accum > 1), \
+        "target caching and grad_accum are mutually exclusive"
+    assert not (with_targets and with_labels), \
+        "target caching is for the perceptual-loss families"
 
     def step_fn(state: TrainState, vgg_vars, content, style,
-                content_label=None):
+                content_label=None, targets=None):
         def loss_fn(params, extra, c, s, lab):
             total, (parts, muts) = bundle.loss(
                 {"params": params, **extra}, vgg_vars, c, s,
-                train=True, content_label=lab)
+                train=True, content_label=lab, targets=targets)
             return total, (parts, muts)
 
         if remat:
@@ -172,6 +183,11 @@ def make_train_step(bundle: ModelBundle, tx, skip_nonfinite: bool = True,
 
     if with_labels:
         return jax.jit(step_fn, donate_argnums=(0,))
+    if with_targets:
+        return jax.jit(
+            lambda state, vgg_vars, c, s, t: step_fn(state, vgg_vars, c, s,
+                                                     targets=t),
+            donate_argnums=(0,))
     return jax.jit(lambda state, vgg_vars, c, s: step_fn(state, vgg_vars, c, s),
                    donate_argnums=(0,))
 

@@ -15,6 +15,7 @@ timeout 1800 python -u tools/hw/hw_q8_check.py
 timeout 3600 python -u tools/hw/hw_q8_bench.py
 timeout 1800 python bench.py
 timeout 1800 python bench.py --train
+timeout 2400 python -u tools/hw/hw_target_cache.py 16 24
 timeout 3600 python bench.py --all > /tmp/hw_bench_all.json 2>> /tmp/hw_all.log || true
 cat /tmp/hw_bench_all.json
 timeout 1800 python bench.py --hires

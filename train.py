@@ -114,6 +114,19 @@ def main():
     # (the path the reference wrote but left unreachable —
     # seg_adain_rp.py:87-96, datasets/cityspaces.py:28-84)
     seg_training = bool(cfg.network == "seg_adain" and cfg.seg_dir)
+
+    # device-resident perceptual-target cache (train/target_cache.py):
+    # skips the no-grad style/content VGG pass on every revisited image.
+    # Single-device folded families only — the spatial shard_map path
+    # computes its loss inside shard_map, and grad_accum microbatching
+    # of cached targets is unimplemented.
+    use_tcache = bool(cfg.get("target_cache", 0)) \
+        and not (cfg.mesh_shape or n_proc > 1) \
+        and not seg_training and bundle.folded_infer() \
+        and cfg.img_size % 8 == 0 and int(cfg.get("grad_accum", 1)) == 1
+    if cfg.get("target_cache", 0) and not use_tcache:
+        logger.warning("target_cache ignored: needs a single-device "
+                       "folded-family run with grad_accum=1")
     if seg_training:
         from rpst.data import CityscapesDataset
         content_ds = CityscapesDataset(cfg.seg_dir, cfg.img_size)
@@ -130,11 +143,13 @@ def main():
     content_iter = InfiniteLoader(content_ds, local_batch,
                                   cfg.num_workers, seed=cfg.seed,
                                   shard_index=jax.process_index(),
-                                  shard_count=n_proc)
+                                  shard_count=n_proc,
+                                  with_indices=use_tcache)
     style_iter = InfiniteLoader(style_ds, local_batch, cfg.num_workers,
                                 seed=cfg.seed + 1,
                                 shard_index=jax.process_index(),
-                                shard_count=n_proc)
+                                shard_count=n_proc,
+                                with_indices=use_tcache)
     test_ds = build_test_dataset(cfg) if cfg.test_dir else None
 
     # --- state ------------------------------------------------------------
@@ -177,10 +192,26 @@ def main():
                                              state_sharding=state_sharding)
         logger.info(f"Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
     else:
-        train_step = make_train_step(bundle, tx, with_labels=seg_training)
+        train_step = make_train_step(bundle, tx, with_labels=seg_training,
+                                     with_targets=use_tcache)
     stylize = make_stylize_fn(bundle)
 
-    if cfg.get("train_q8_targets", False):
+    target_cache = None
+    if use_tcache:
+        from rpst.train.target_cache import DeviceTargetCache
+        target_cache = DeviceTargetCache(
+            img_size=cfg.img_size, dtype=bundle._folded_dtype(),
+            content_slots=int(cfg.target_cache),
+            style_slots=int(cfg.get("target_cache_style_slots", 8192)))
+        logger.info(f"target_cache: {target_cache.content_slots} content "
+                    f"slots ({target_cache.content_slots * (cfg.img_size // 8) ** 2 * 1024 / 2 ** 20:.0f} MiB HBM), "
+                    f"{target_cache.style_slots} style slots — the "
+                    "style/content VGG target pass is skipped on hits")
+
+    if cfg.get("train_q8_targets", False) and use_tcache:
+        logger.info("train_q8_targets superseded by target_cache (the "
+                    "target pass it quantizes is skipped entirely)")
+    elif cfg.get("train_q8_targets", False):
         # int8 no-grad VGG loss targets: calibrate activation scales once
         # on a representative batch (the VGG is frozen, so the scales
         # hold for the whole run); only the single-device folded loss
@@ -271,9 +302,16 @@ def main():
                 content_np, label_np = next(content_iter)
                 content = jnp.asarray(content_np)
                 content_label = jnp.asarray(label_np)
+            elif use_tcache:
+                c_idx, content_np = next(content_iter)
+                content = jnp.asarray(content_np)
             else:
                 content = jnp.asarray(next(content_iter))
-            style = jnp.asarray(next(style_iter))
+            if use_tcache:
+                s_idx, style_np = next(style_iter)
+                style = jnp.asarray(style_np)
+            else:
+                style = jnp.asarray(next(style_iter))
             if mesh is not None:
                 content = shard_batch(content, mesh, spatial=spatial)
                 style = shard_batch(style, mesh, spatial=spatial)
@@ -283,6 +321,11 @@ def main():
             if seg_training:
                 state, loss_dict = train_step(state, vgg_vars, content,
                                               style, content_label)
+            elif use_tcache:
+                t = target_cache.targets_for_batch(vgg_vars, style, content,
+                                                   s_idx, c_idx)
+                state, loss_dict = train_step(state, vgg_vars, content,
+                                              style, t)
             else:
                 state, loss_dict = train_step(state, vgg_vars, content, style)
 
@@ -296,6 +339,10 @@ def main():
                             if rate == rate else "")
                 loss_str = "".join(f", {k} {float(v)}"
                                    for k, v in loss_dict.items())
+                if use_tcache:
+                    tc = target_cache.stats()
+                    loss_str += (f", tcache_hit_steps {tc['hit_steps']}"
+                                 f"/{tc['hit_steps'] + tc['miss_steps']}")
                 logger.info(f"Iterations {begin + i}, "
                             f"elapsed time: {elapsed}{rate_str}{loss_str}")
 
